@@ -1,0 +1,90 @@
+"""Kernel-level invariants: the vectorized numpy kernels must agree exactly
+with the pure-Python reference-parity kernels (SURVEY.md §5.2)."""
+import random
+
+import numpy as np
+import pytest
+
+from wdd.kernels import (
+    calculate_simhash,
+    custom_hash_function,
+    extract_text,
+    minhash_signature,
+    shingles,
+    simhash64_batch,
+)
+from wdd.kernels.minhash import jaccard_estimate
+from wdd.kernels.simhash import simhash_b64, pack_simhash_to_bytes
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+         "nu xi omicron pi rho sigma tau upsilon phi chi psi omega").split()
+
+
+def _random_features(rng, n_tokens):
+    toks = rng.sample(WORDS, min(n_tokens, len(WORDS)))
+    return {t: rng.randint(1, 5) for t in toks}
+
+
+def test_simhash64_batch_matches_pure_python():
+    rng = random.Random(1234)
+    batch = [_random_features(rng, rng.randint(1, 20)) for _ in range(64)]
+    batch.append({})  # empty doc
+    vec = simhash64_batch(batch, hash_name="blake2b")
+    for feats, got in zip(batch, vec):
+        expected = calculate_simhash(feats, 64, custom_hash_function) if feats else 0
+        # reinterpret unsigned reference value as signed int64
+        expected_signed = expected - (1 << 64) if expected >= (1 << 63) else expected
+        assert int(got) == expected_signed
+
+
+def test_simhash64_batch_order_invariant():
+    feats = {"one": 1, "two": 2, "three": 3}
+    rev = dict(reversed(list(feats.items())))
+    a = simhash64_batch([feats])
+    b = simhash64_batch([rev])
+    assert int(a[0]) == int(b[0])
+
+
+def test_simhash_b64_roundtrip():
+    h = calculate_simhash({"a": 1, "b": 2}, 64, custom_hash_function)
+    enc = simhash_b64(h, 64)
+    import base64
+    assert base64.b64decode(enc) == pack_simhash_to_bytes(h, 64)
+    assert len(base64.b64decode(enc)) == 8
+
+
+def test_minhash_deterministic_and_sensitive():
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = t1.replace("lazy", "sleepy")
+    t3 = "completely different content about spark shuffles and joins " * 5
+    s1a = minhash_signature(t1)
+    s1b = minhash_signature(t1)
+    assert np.array_equal(s1a, s1b)
+    assert s1a.dtype == np.int32 and s1a.shape == (128,)
+    # t1/t2 differ in 1 of 9 distinct words -> shingle Jaccard ~ 0.45
+    assert jaccard_estimate(s1a, minhash_signature(t2)) > 0.3
+    assert jaccard_estimate(s1a, minhash_signature(t3)) < 0.2
+
+
+def test_minhash_estimates_true_jaccard():
+    rng = random.Random(7)
+    base = [rng.choice(WORDS) for _ in range(300)]
+    edited = list(base)
+    for i in range(0, 300, 25):  # ~4% token edits
+        edited[i] = edited[i].upper()
+    ta, tb = " ".join(base), " ".join(edited)
+    sa, sb = set(shingles(ta)), set(shingles(tb))
+    true_j = len(sa & sb) / len(sa | sb)
+    est = jaccard_estimate(minhash_signature(ta), minhash_signature(tb))
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_empty_doc_sentinel():
+    sig = minhash_signature("")
+    assert np.all(sig == (1 << 31) - 1)
+
+
+def test_extract_text_bytes_and_errors():
+    assert extract_text(b"<p>Hello, World!</p>") == "hello  world"
+    assert extract_text(b"\xff\xfe\x00bad") == ""
+    assert extract_text(None) == ""
