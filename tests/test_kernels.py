@@ -85,6 +85,7 @@ def test_minhash_empty_doc_sentinel():
 
 
 def test_extract_text_bytes_and_errors():
-    assert extract_text(b"<p>Hello, World!</p>") == "hello  world"
+    # ',' -> space makes a double space -> chunk split -> newline-joined
+    assert extract_text(b"<p>Hello, World!</p>") == "hello\nworld"
     assert extract_text(b"\xff\xfe\x00bad") == ""
     assert extract_text(None) == ""
