@@ -1,0 +1,78 @@
+"""UDF == kernel equivalence on real table data (SURVEY.md §5.2)."""
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from wdd.kernels import (
+    calculate_simhash,
+    custom_hash_function,
+    extract_text,
+    minhash_signature,
+    surt,
+)
+from wdd.kernels.simhash import simhash_b64
+from wdd import udfs
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash64_text_udf_matches_kernel(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .limit(50)
+          .select("doc_id", "text",
+                  udfs.simhash64_text_udf("text").alias("simhash64")))
+    rows = df.collect()
+    assert len(rows) == 50
+    for r in rows:
+        feats = dict(Counter(r.text.split()))
+        expected = _signed64(calculate_simhash(feats, 64, custom_hash_function))
+        assert r.simhash64 == expected
+
+
+def test_minhash_udf_matches_kernel(spark, sf_dir):
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(20)
+            .select("text", udfs.minhash128_udf("text").alias("sig"))
+            .collect())
+    for r in rows:
+        assert r.sig == minhash_signature(r.text).tolist()
+        assert len(r.sig) == 128
+
+
+def test_extract_features_udf(spark):
+    html = [
+        ("<html><title>my title</title><body>abc test</body></html>",),
+        ("<p>Hello, World!</p>",),
+        ("",),
+    ]
+    df = spark.createDataFrame(html, ["html"]) \
+        .select(udfs.extract_features_udf("html").alias("x")) \
+        .select("x.text", "x.features")
+    out = df.collect()
+    assert out[0].features == {"my": 1, "title": 1, "abc": 1, "test": 1}
+    assert out[0].text == extract_text(html[0][0])
+    assert out[1].features == {"hello": 1, "world": 1}
+    assert out[2].features == {}
+
+
+def test_extract_features_udf_on_binary(spark):
+    df = spark.createDataFrame([(bytearray(b"<p>a b</p>"),)], "html binary") \
+        .select(udfs.extract_features_udf("html").alias("x"))
+    assert df.collect()[0].x.features == {"a": 1, "b": 1}
+
+
+def test_surt_and_b64_udfs(spark):
+    df = spark.createDataFrame(
+        [("http://example.com", 123456789)], ["url", "h"]
+    ).select(
+        udfs.surt_key_udf("url").alias("k"),
+        udfs.simhash_b64_udf("h").alias("b64"),
+        udfs.url_is_valid_udf("url").alias("valid"),
+    )
+    r = df.collect()[0]
+    assert r.k == surt("http://example.com") == "com,example)/"
+    assert r.b64 == simhash_b64(123456789, 64)
+    assert r.valid is True

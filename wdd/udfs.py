@@ -1,0 +1,109 @@
+"""Vectorized pandas/Arrow UDF layer over wdd.kernels.
+
+Every UDF here is Arrow-batched (no per-row Python UDFs anywhere in the
+engine — input_hint mandate). The hash kernels batch work per Arrow batch:
+simhash hashes each distinct token once per batch, minhash runs one
+(n_shingles x 128) matrix-min per doc. Cheap column work (digest, year
+slicing, bit ops) stays JVM-side in pyspark.sql.functions — see wdd.operators.
+
+Reference surface covered: T1 extract (discover.py:31-53), T2/T3 simhash
+(discover.py:56-68), T4 pack+b64 (discover.py:71-77,180-182), F2 url_fix
+(discover.py:191), F3 surt (discover.py:233).
+"""
+
+from __future__ import annotations
+
+import struct
+import base64
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wdd.config import DEFAULT
+from wdd.kernels import extract as _extract
+from wdd.kernels import minhash as _minhash
+from wdd.kernels import simhash as _simhash
+from wdd.kernels.surt import surt as _surt_fn
+from wdd.kernels.urls import url_fix as _url_fix_fn, url_is_valid as _url_is_valid_fn
+
+
+_EXTRACT_TYPE = StructType([
+    StructField("text", StringType()),
+    StructField("features", MapType(StringType(), IntegerType())),
+])
+
+
+@pandas_udf(_EXTRACT_TYPE)
+def extract_features_udf(html: pd.Series) -> pd.DataFrame:
+    """T1: raw html (binary or string) -> (normalized text, token weights)."""
+    texts = [_extract.extract_text(h) for h in html]
+    feats = [dict(Counter(t.split())) if t else {} for t in texts]
+    return pd.DataFrame({"text": texts, "features": feats})
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return pd.Series([_extract.extract_text(h) for h in html])
+
+
+@pandas_udf(LongType())
+def simhash64_udf(features: pd.Series) -> pd.Series:
+    """T3 at f=64 with the production blake2b token hash."""
+    vec = _simhash.simhash64_batch(list(features), hash_name=DEFAULT.simhash_hash)
+    return pd.Series(vec)
+
+
+@pandas_udf(LongType())
+def simhash64_text_udf(text: pd.Series) -> pd.Series:
+    """T1+T3 fused for already-normalized text columns (documents.text):
+    features = whitespace token counts, then simhash64."""
+    feats = [dict(Counter(t.split())) if isinstance(t, str) and t else {}
+             for t in text]
+    vec = _simhash.simhash64_batch(feats, hash_name=DEFAULT.simhash_hash)
+    return pd.Series(vec)
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def minhash128_udf(text: pd.Series) -> pd.Series:
+    """128-perm MinHash signature over word shingles."""
+    return pd.Series([sig.tolist() for sig in _minhash.minhash_batch(list(text))])
+
+
+@pandas_udf(StringType())
+def simhash_b64_udf(simhash64: pd.Series) -> pd.Series:
+    """T4: signed int64 -> little-endian 8 bytes -> base64 (reference packing,
+    discover.py:71-77 + 180-182, at f=64)."""
+    return pd.Series([
+        base64.b64encode(struct.pack("<q", int(v))).decode("ascii")
+        if pd.notna(v) else None
+        for v in simhash64
+    ])
+
+
+@pandas_udf(StringType())
+def surt_key_udf(url: pd.Series) -> pd.Series:
+    """F3: SURT canonical grouping key."""
+    return pd.Series([_surt_fn(u) if u else "" for u in url])
+
+
+@pandas_udf(StringType())
+def url_fix_udf(url: pd.Series) -> pd.Series:
+    """F2: werkzeug-style URL fixing."""
+    return pd.Series([_url_fix_fn(u) if u else u for u in url])
+
+
+@pandas_udf(BooleanType())
+def url_is_valid_udf(url: pd.Series) -> pd.Series:
+    """F1: reference URL validation semantics."""
+    return pd.Series([_url_is_valid_fn(u) for u in url])
