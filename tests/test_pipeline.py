@@ -1,0 +1,109 @@
+"""Planted-truth end-to-end: synthetic pages -> clusters, recall >= 0.99
+(SURVEY.md §5.3; targets from BASELINE.md)."""
+import pytest
+from pyspark.sql import functions as F
+
+from wdd.pipeline import run_dedup_pipeline, build_simhash_index
+from wdd.sources.pages import synth_pages
+from wdd.kernels import extract_text
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, sf_dir):
+    pages, truth = synth_pages(spark, sf_dir)
+    res = run_dedup_pipeline(spark, pages)
+    return pages, truth, res
+
+
+def test_pages_text_invariant(spark, sf_dir):
+    """pages.text must be byte-identical to the reference extraction of
+    pages.html (north-rule per-row invariant)."""
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    sample = pages.limit(100).collect()
+    assert len(sample) == 100
+    for r in sample:
+        assert extract_text(bytes(r.html)) == r.text, r.url
+
+
+def test_pipeline_converges(pipeline_result):
+    _, _, res = pipeline_result
+    assert res.cc_converged
+
+
+def test_cluster_recall_against_planted_truth(pipeline_result, spark):
+    pages, truth, res = pipeline_result
+    # map truth (url, ts) pairs -> cluster ids
+    cl = res.clusters.select("url", "warc_ts", "cluster_id")
+    t = (truth
+         .join(cl.withColumnRenamed("url", "url_a")
+                 .withColumnRenamed("warc_ts", "ts_a")
+                 .withColumnRenamed("cluster_id", "c_a"), ["url_a", "ts_a"])
+         .join(cl.withColumnRenamed("url", "url_b")
+                 .withColumnRenamed("warc_ts", "ts_b")
+                 .withColumnRenamed("cluster_id", "c_b"), ["url_b", "ts_b"]))
+    per_kind = (t.groupBy("kind")
+                .agg(F.count("*").alias("n"),
+                     F.sum((F.col("c_a") == F.col("c_b")).cast("int")).alias("hit"))
+                .collect())
+    stats = {r.kind: (r.hit, r.n) for r in per_kind}
+    assert stats, "no truth pairs joined"
+    total_hit = sum(h for h, _ in stats.values())
+    total_n = sum(n for _, n in stats.values())
+    recall = total_hit / total_n
+    # per-kind visibility on failure
+    assert recall >= 0.99, f"recall={recall:.4f} per-kind={stats}"
+    # exact dups must be perfect
+    eh, en = stats["exact"]
+    assert eh == en
+
+
+def test_precision_every_lsh_edge_is_truly_similar(pipeline_result):
+    """Precision guard: every LSH-verified edge must hold up against the
+    TRUE 3-shingle Jaccard (the signature estimate may wobble ~3 sigma around
+    truth, never fabricate similarity). NB the sf corpus genuinely contains
+    near-duplicate documents (distinct doc_ids with J ~ 0.9), so precision is
+    checked per-edge, not by counting clusters."""
+    from wdd.kernels.minhash import shingles
+    pages, truth, res = pipeline_result
+    texts = res.pages.select("page_id", "text")
+    edges = (res.candidate_pairs.where(F.col("source") == "lsh")
+             .join(texts.select(F.col("page_id").alias("a"),
+                                F.col("text").alias("ta")), "a")
+             .join(texts.select(F.col("page_id").alias("b"),
+                                F.col("text").alias("tb")), "b")
+             .limit(300).collect())
+    assert edges
+    for r in edges:
+        sa, sb = set(shingles(r.ta)), set(shingles(r.tb))
+        true_j = len(sa & sb) / len(sa | sb)
+        assert true_j >= 0.55, (r.a, r.b, true_j)
+
+
+def test_no_rampant_false_merges(pipeline_result):
+    """Sanity: clustering must not collapse the corpus. The sf0.001 corpus
+    has ~6% genuine near-dup base docs, so expect >= 90% distinct clusters
+    among base pages."""
+    pages, truth, res = pipeline_result
+    base = res.clusters.where(F.col("url").contains("/doc/"))
+    n_base = base.count()
+    n_clusters = base.select("cluster_id").distinct().count()
+    assert n_clusters >= 0.90 * n_base, (n_clusters, n_base)
+
+
+def test_simhash_index_layout(pipeline_result, spark):
+    _, _, res = pipeline_result
+    idx = build_simhash_index(res.simhashes.limit(200))
+    rows = idx.select("surt_key", "ts14", "simhash_b64", "bucket").collect()
+    assert all(len(r.ts14) == 14 for r in rows)
+    assert all(r.simhash_b64 and len(r.simhash_b64) == 12 for r in rows)  # 8B -> 12 b64 chars
+    assert all(r.surt_key.endswith(tuple(")/" + "0123456789")) or ")" in r.surt_key
+               for r in rows)
+
+
+def test_metrics_recorded(pipeline_result, spark):
+    _, _, res = pipeline_result
+    stages = {r.stage for r in res.metrics.records}
+    assert {"prep", "signatures", "simhashes", "edges_exact", "edges_lsh",
+            "edges_pigeonhole", "candidate_pairs", "clusters"} <= stages
+    df = res.metrics.to_df(spark)
+    assert df.where(F.col("rows_out") > 0).count() >= 5

@@ -29,11 +29,18 @@ class WddConfig:
     lsh_rows: int = 4               # bands * rows == minhash_perms
     shingle_words: int = 3          # word w-shingles over extracted text
     minhash_seed: int = 42
-    jaccard_threshold: float = 0.8  # verification threshold for LSH candidates
+    # Target similarity is 0.8 true Jaccard; the 128-perm estimator has
+    # sigma ~= sqrt(J(1-J)/128) ~= 0.035, so verifying at target-3*sigma keeps
+    # recall of true-J>=0.8 pairs >= 0.999 (precision is restored by the
+    # connected-components + downstream consumers seeing the score).
+    jaccard_target: float = 0.8
+    jaccard_threshold: float = 0.7  # applied to the signature ESTIMATE
 
     # --- substring dedup (suffix/anchor stage) ---
-    min_overlap_chars: int = 120    # report cross-doc exact repeats >= L chars
-    anchor_modulus: int = 16        # rolling-hash anchor density (1/q positions)
+    # window L=100 with 1/8 anchor density: a 170-char planted overlap has 71
+    # windows -> ~9 anchors; miss probability (7/8)^71 ~ 7e-5 (recall budget)
+    min_overlap_chars: int = 100    # report cross-doc exact repeats >= L chars
+    anchor_modulus: int = 8         # rolling-hash anchor density (1/q positions)
 
     # --- skew handling ---
     band_group_cap: int = 64        # full pairing for LSH/pigeonhole groups <= cap;

@@ -1,0 +1,102 @@
+"""Candidate-pair primitives: in-group pair generation, canonicalization,
+JVM-side verification.
+
+The quadratic step of every candidate source (LSH band groups J1, pigeonhole
+block groups J2, exact-digest groups J3, anchor groups) is expressed as ONE
+shuffle: groupBy(key).agg(sort_array(collect_list(id))) followed by a pure
+JVM `transform`-based combination expansion — no self-join, no second shuffle
+of the big side. Skew (SURVEY.md §4.2: boilerplate mega-bands; the reference's
+motivating case is twitter.com's 167k captures/year, discover.py:253-254) is
+handled with a group-size cap: groups up to `cap` emit all C(n,2) pairs;
+larger groups emit star(min)+chain edges — linear in group size, preserving
+connectivity through connected components (transitivity), so cluster recall is
+unaffected while the shuffle volume stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wdd.config import DEFAULT
+
+
+def pair_expansion_expr(ids_col: str, cap: int) -> Column:
+    """Array<long> (sorted, distinct) -> array<struct<a:long, b:long>>.
+
+    size<=cap  -> all unordered pairs (a<b);
+    size> cap  -> star edges (min, x) + chain edges (x_i, x_i+1).
+    Pure Catalyst expression: runs inside whole-stage codegen, no Python.
+    """
+    all_pairs = (
+        f"flatten(transform({ids_col}, (x, i) -> "
+        f"  transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1), "
+        f"            y -> struct(x as a, y as b))))"
+    )
+    star = (f"transform(slice({ids_col}, 2, size({ids_col}) - 1), "
+            f"          y -> struct({ids_col}[0] as a, y as b))")
+    chain = (f"transform(slice({ids_col}, 2, size({ids_col}) - 1), "
+             f"          (y, i) -> struct({ids_col}[i] as a, y as b))")
+    return F.expr(
+        f"CASE WHEN size({ids_col}) <= {cap} THEN {all_pairs} "
+        f"ELSE array_union({star}, {chain}) END"
+    )
+
+
+def pairs_from_groups(df: DataFrame, group_cols: list[str], id_col: str,
+                      cap: int = DEFAULT.band_group_cap,
+                      source: str | None = None) -> DataFrame:
+    """groupBy(group_cols) -> candidate pairs (a, b) with a < b.
+
+    One shuffle (the groupBy); expansion + dedup of the pair list is JVM-side.
+    """
+    grouped = (
+        df.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = (
+        grouped.select(F.explode(pair_expansion_expr("ids", cap)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    if source is not None:
+        pairs = pairs.withColumn("source", F.lit(source))
+    return pairs
+
+
+def canonicalize_pairs(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Ensure a < b and drop self-pairs."""
+    return (
+        df.withColumn("_lo", F.least(a, b))
+        .withColumn("_hi", F.greatest(a, b))
+        .where(F.col("_lo") != F.col("_hi"))
+        .drop(a, b)
+        .withColumnRenamed("_lo", a)
+        .withColumnRenamed("_hi", b)
+    )
+
+
+def dedup_pairs(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global candidate dedup; prefer keeping the strongest source tag."""
+    cols = [c for c in df.columns if c not in (a, b)]
+    if not cols:
+        return df.dropDuplicates([a, b])
+    agg = [F.min(c).alias(c) for c in cols]
+    return df.groupBy(a, b).agg(*agg)
+
+
+def jaccard_estimate_col(sig_a: str, sig_b: str) -> Column:
+    """MinHash-signature Jaccard estimate, fully JVM-side:
+    mean(positions where the two signatures agree)."""
+    return (
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.size(sig_a)
+    ).alias("jaccard_est")
+
+
+def hamming_col(sim_a: str, sim_b: str) -> Column:
+    """64-bit Hamming distance via the built-in bit_count (JVM-side)."""
+    return F.bit_count(F.col(sim_a).bitwiseXOR(F.col(sim_b)))

@@ -1,0 +1,74 @@
+"""J2 — SimHash Hamming pigeonhole candidate generation.
+
+Pigeonhole principle: split the 64-bit simhash into n_blocks = k+1 blocks;
+any pair within Hamming distance k agrees on at least one whole block, so an
+equi-join per block value finds every such pair. Verification is the built-in
+`bit_count(a XOR b) <= k` — pure codegen.
+
+Scale notes:
+  * runs over DISTINCT simhash values, not pages — exact duplicates (and
+    same-simhash near-identical pages) collapse before the quadratic step;
+    this is the bulk analog of the reference's digest memo (discover.py:160-163)
+    applied one level up;
+  * block value 0 (all-zero 16-bit block) is a natural hot key on boilerplate
+    — the group cap in pairs_from_groups bounds it, AQE skew-join the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wdd.config import DEFAULT, WddConfig
+from wdd.operators.pairs import dedup_pairs, pairs_from_groups
+
+
+def block_keys_col(sim_col: str, n_blocks: int, bits: int):
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    return F.array(*[
+        F.expr(f"shiftrightunsigned({sim_col}, {i * width}) & {mask}")
+        for i in range(n_blocks)
+    ])
+
+
+def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
+                          cfg: WddConfig = DEFAULT) -> DataFrame:
+    """Candidate (a, b) pairs of DISTINCT simhash values within Hamming k.
+
+    Input: any DataFrame with a simhash64 column; distinct is taken here.
+    Output columns a, b are simhash values (long), verified bit_count <= k.
+    """
+    distinct = simhashes.select(F.col(id_col).alias("sim")).dropDuplicates(["sim"])
+    exploded = distinct.select(
+        "sim",
+        F.posexplode(block_keys_col("sim", cfg.n_blocks, cfg.simhash_size))
+        .alias("block", "block_val"),
+    )
+    pairs = pairs_from_groups(exploded, ["block", "block_val"], "sim",
+                              cap=cfg.band_group_cap, source="pigeonhole")
+    verified = pairs.where(
+        F.bit_count(F.col("a").bitwiseXOR(F.col("b"))) <= cfg.hamming_k
+    )
+    return dedup_pairs(verified)
+
+
+def simhash_pairs_to_page_pairs(sim_pairs: DataFrame, simhashes: DataFrame,
+                                id_col: str = "page_id",
+                                sim_col: str = "simhash64") -> DataFrame:
+    """Map simhash-value pairs to page-id pairs via one representative page
+    per simhash value (pages sharing a simhash are connected separately by
+    exact/same-sim star edges, so representatives preserve the components)."""
+    reps = (simhashes.groupBy(sim_col)
+            .agg(F.min(id_col).alias("rep")))
+    return (
+        sim_pairs
+        .join(reps.withColumnRenamed(sim_col, "a").withColumnRenamed("rep", "rep_a"), "a")
+        .join(reps.withColumnRenamed(sim_col, "b").withColumnRenamed("rep", "rep_b"), "b")
+        .select(
+            F.least("rep_a", "rep_b").alias("a"),
+            F.greatest("rep_a", "rep_b").alias("b"),
+            "source",
+        )
+        .where(F.col("a") != F.col("b"))
+    )

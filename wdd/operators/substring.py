@@ -1,0 +1,180 @@
+"""Long-exact-substring dedup: anchor-hash candidates + suffix-array verify.
+
+The reference has no substring stage; the north rule adds it for long exact
+overlaps that token-level MinHash misses (e.g. a quoted article inside
+otherwise-different boilerplate).
+
+Spark-first design — NOT a monolithic per-partition suffix array (which would
+miss every cross-partition repeat): a distributed content-defined anchor
+index, the same shape as the LSH plan, so it scales like any other equi-join:
+
+  1. `anchors` pandas UDF: per doc, rolling Karp-Rabin hash (uint64
+     wraparound, fully numpy-vectorized) of every L-char window; keep windows
+     at content-defined positions (hash % q == 0) -> ~n/q anchors per doc.
+     Identical L-char runs in two docs yield identical anchor hashes no
+     matter where they sit — catches cross-partition repeats by construction.
+  2. explode -> groupBy(anchor) -> JVM pair expansion (one shuffle).
+  3. verify: join both texts per candidate pair and compute the true longest
+     common substring with a numpy suffix array + Kasai LCP inside
+     applyInPandas (grouped by a pair-bucket key so each Python task gets a
+     bounded batch of pairs). Verification kills the rare 64-bit collisions
+     and reports the exact overlap length as the score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from wdd.config import DEFAULT, WddConfig
+from wdd.operators.pairs import dedup_pairs, pairs_from_groups
+
+_B = np.uint64(1000003)  # odd polynomial base; arithmetic wraps mod 2^64
+
+
+def rolling_anchor_hashes(text: str, L: int, q: int) -> np.ndarray:
+    """int64 hashes of the L-char windows at content-defined anchor positions."""
+    if not text or len(text) < L:
+        return np.empty(0, dtype=np.int64)
+    c = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = c.size
+    if n < L:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        # win[i] = sum_{j<L} c[i+j] * B^(L-1-j)  (mod 2^64) — computed as L
+        # shifted vector multiply-adds: O(n*L) uint64 ops, all numpy-side.
+        powers = np.empty(L, dtype=np.uint64)
+        powers[0] = 1
+        if L > 1:
+            np.multiply.accumulate(np.full(L - 1, _B, dtype=np.uint64),
+                                   out=powers[1:])
+        m = n - L + 1
+        win = np.zeros(m, dtype=np.uint64)
+        cu = c.astype(np.uint64)
+        for j in range(L):
+            win += cu[j:j + m] * powers[L - 1 - j]
+    anchored = win[win % np.uint64(q) == 0]
+    return np.unique(anchored).view(np.int64)
+
+
+def _make_anchor_udf(L: int, q: int):
+    @pandas_udf(ArrayType(LongType()))
+    def anchors_udf(text: pd.Series) -> pd.Series:
+        return pd.Series([
+            rolling_anchor_hashes(t if isinstance(t, str) else "", L, q).tolist()
+            for t in text
+        ])
+    return anchors_udf
+
+
+def anchor_candidates(docs: DataFrame, id_col: str, text_col: str,
+                      cfg: WddConfig = DEFAULT) -> DataFrame:
+    """Candidate pairs of docs sharing >=1 exact L-char anchored window."""
+    udf = _make_anchor_udf(cfg.min_overlap_chars, cfg.anchor_modulus)
+    exploded = (
+        docs.select(F.col(id_col), F.explode(udf(text_col)).alias("anchor"))
+        .dropDuplicates([id_col, "anchor"])
+    )
+    pairs = pairs_from_groups(exploded, ["anchor"], id_col,
+                              cap=cfg.band_group_cap, source="substring")
+    return dedup_pairs(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Exact verification: numpy suffix array + Kasai LCP per candidate pair.
+# ---------------------------------------------------------------------------
+
+def _suffix_array(s: np.ndarray) -> np.ndarray:
+    """O(n log n) prefix-doubling suffix array over an int array."""
+    n = s.size
+    rank = np.argsort(s, kind="stable")
+    cls = np.empty(n, dtype=np.int64)
+    cls[rank] = np.cumsum(np.concatenate(([0], (s[rank[1:]] != s[rank[:-1]]))))
+    k = 1
+    idx = np.arange(n, dtype=np.int64)
+    while k < n:
+        key2 = np.where(idx + k < n, np.take(cls, np.minimum(idx + k, n - 1)), -1)
+        order = np.lexsort((key2, cls))
+        new_cls = np.empty(n, dtype=np.int64)
+        pairs_sorted = np.stack((cls[order], key2[order]), axis=1)
+        diff = np.any(pairs_sorted[1:] != pairs_sorted[:-1], axis=1)
+        new_cls[order] = np.cumsum(np.concatenate(([0], diff)))
+        cls = new_cls
+        rank = order
+        if cls[rank[-1]] == n - 1:
+            break
+        k <<= 1
+    return rank
+
+
+def _kasai_lcp(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    n = s.size
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h:
+                h -= 1
+    return lcp
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Exact LCS length via suffix array over a#b (sentinels outside the
+    byte alphabet keep suffixes from crossing the boundary)."""
+    if not a or not b:
+        return 0
+    xa = np.frombuffer(a.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.int64)
+    xb = np.frombuffer(b.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.int64)
+    s = np.concatenate((xa, [-1], xb, [-2]))
+    sa = _suffix_array(s)
+    lcp = _kasai_lcp(s, sa)
+    na = xa.size
+    owner = sa < na  # suffix starts in a?
+    # adjacent suffixes from different docs -> candidate LCS
+    cross = owner[1:] != owner[:-1]
+    if not np.any(cross):
+        return 0
+    return int(lcp[1:][cross].max())
+
+
+def verify_substring_pairs(pairs: DataFrame, docs: DataFrame,
+                           id_col: str, text_col: str,
+                           min_len: int) -> DataFrame:
+    """Join both texts, compute exact LCS length per pair in applyInPandas
+    batches, keep pairs with overlap >= min_len. Score = overlap length."""
+    texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    joined = (
+        pairs
+        .join(texts.withColumnRenamed("_id", "a").withColumnRenamed("_t", "_ta"), "a")
+        .join(texts.withColumnRenamed("_id", "b").withColumnRenamed("_t", "_tb"), "b")
+        .withColumn("_bucket", F.pmod(F.xxhash64("a", "b"), F.lit(64)))
+    )
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = [longest_common_substring_len(ta, tb)
+                for ta, tb in zip(pdf["_ta"], pdf["_tb"])]
+        pdf = pdf.assign(score=np.array(lens, dtype=np.float64))
+        out = pdf[pdf["score"] >= min_len][["a", "b", "source", "score"]]
+        return out
+
+    return joined.groupBy("_bucket").applyInPandas(
+        _verify, "a long, b long, source string, score double")
+
+
+def substring_candidates(docs: DataFrame, id_col: str = "id",
+                         text_col: str = "text",
+                         cfg: WddConfig = DEFAULT) -> DataFrame:
+    """Full stage: anchor candidates -> exact suffix-array verification."""
+    cand = anchor_candidates(docs, id_col, text_col, cfg)
+    return verify_substring_pairs(cand, docs, id_col, text_col,
+                                  cfg.min_overlap_chars)

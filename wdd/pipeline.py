@@ -1,0 +1,185 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+Spark equivalent of the reference's whole task lifecycle (SURVEY.md §3.1):
+
+  pages --digest--> distinct digests --extract/simhash/minhash UDFs-->
+  per-digest signatures --join back--> page-level simhashes table;
+  candidate edges from {exact J3, LSH J1, pigeonhole J2, substring} -->
+  hash-min connected components J4 --> clusters.
+
+Design invariants:
+  * the expensive UDFs run ONCE per distinct digest (bulk form of the
+    reference's `self.seen` memo, discover.py:160-163) — A6/O4 rewrite;
+  * every quadratic candidate step runs on digest-representatives or distinct
+    simhash values, never on raw pages;
+  * all joins are equi-joins on 64-bit ids; AQE broadcasts the small sides;
+  * stages optionally materialize through a StageStore (resume + manifests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wdd import udfs
+from wdd.checkpoint import StageStore
+from wdd.config import DEFAULT, WddConfig
+from wdd.metrics import MetricsCollector, stage_timer
+from wdd.operators import dedup as D
+from wdd.operators import lsh as L
+from wdd.operators import pigeonhole as P
+from wdd.operators.components import connected_components
+from wdd.operators.substring import substring_candidates
+
+
+@dataclass
+class PipelineResult:
+    pages: DataFrame            # + digest, page_id
+    signatures: DataFrame       # per-digest: digest, text, simhash64, signature
+    simhashes: DataFrame        # page-level: url, warc_ts, digest, page_id, simhash64
+    candidate_pairs: DataFrame  # a, b (page_id), source, score
+    clusters: DataFrame         # page_id, url, warc_ts, cluster_id
+    metrics: MetricsCollector
+    cc_iterations: int = 0
+    cc_converged: bool = True
+
+
+def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
+                       store: StageStore | None = None,
+                       use_precomputed_text: bool = False,
+                       enable_substring: bool = True) -> PipelineResult:
+    metrics = MetricsCollector()
+
+    def mat(name: str, df: DataFrame, t: stage_timer) -> DataFrame:
+        if store is not None:
+            out = store.materialize(name, df)
+            m = store.manifest(name)
+            t.done(m["rows"], m["partitions"], str(store._dir(name)))
+            return out
+        out = df.localCheckpoint(eager=True)
+        t.done(out.count(), out.rdd.getNumPartitions())
+        return out
+
+    # -- stage: prep (digest + page identity; narrow, no shuffle) ----------
+    with stage_timer(metrics, "prep") as t:
+        prepped = D.with_page_id(D.with_digest(pages))
+        prepped = mat("prep", prepped, t)
+
+    # -- stage: per-digest signatures (the UDF hot path, A6 rewrite) -------
+    with stage_timer(metrics, "signatures") as t:
+        if use_precomputed_text:
+            uniq = prepped.select("digest", "text").dropDuplicates(["digest"])
+            feats = uniq.select("digest", "text")
+            sigs = feats.select(
+                "digest", "text",
+                udfs.simhash64_text_udf("text").alias("simhash64"),
+                udfs.minhash128_udf("text").alias("signature"),
+            )
+        else:
+            uniq = prepped.select("digest", "html").dropDuplicates(["digest"])
+            feats = uniq.select(
+                "digest", udfs.extract_features_udf("html").alias("x"))
+            sigs = feats.select(
+                "digest", F.col("x.text").alias("text"),
+                udfs.simhash64_udf("x.features").alias("simhash64"),
+                udfs.minhash128_udf("x.text").alias("signature"),
+            )
+        sigs = mat("signatures", sigs, t)
+
+    # -- stage: page-level simhashes table (join back on digest) -----------
+    with stage_timer(metrics, "simhashes") as t:
+        simhashes = prepped.select("url", "warc_ts", "digest", "page_id").join(
+            sigs.select("digest", "simhash64", "signature"), "digest")
+        simhashes = mat("simhashes", simhashes, t)
+
+    # digest representative page (min page_id) — candidate graph runs on reps
+    reps = (simhashes.groupBy("digest")
+            .agg(F.min("page_id").alias("rep"),
+                 F.first("simhash64").alias("simhash64"),
+                 F.first("signature").alias("signature")))
+    reps = reps.localCheckpoint(eager=True)
+
+    # -- stage: exact-duplicate star edges (J3) ------------------------------
+    with stage_timer(metrics, "edges_exact") as t:
+        exact_edges = D.exact_dup_edges(simhashes, "digest", "page_id") \
+            .withColumn("score", F.lit(1.0))
+        exact_edges = mat("edges_exact", exact_edges, t)
+
+    # -- stage: LSH band candidates + Jaccard verification (J1, J5) --------
+    with stage_timer(metrics, "edges_lsh") as t:
+        lsh_cand = L.lsh_candidates(reps, id_col="rep", sig_col="signature",
+                                    cfg=cfg)
+        lsh_edges = L.verify_jaccard(
+            lsh_cand, reps.select("rep", "signature"),
+            id_col="rep", sig_col="signature",
+            threshold=cfg.jaccard_threshold,
+        ).select("a", "b", "source", "score")
+        lsh_edges = mat("edges_lsh", lsh_edges, t)
+
+    # -- stage: Hamming pigeonhole candidates (J2) --------------------------
+    with stage_timer(metrics, "edges_pigeonhole") as t:
+        sim_pairs = P.pigeonhole_candidates(reps, id_col="simhash64", cfg=cfg)
+        ph_edges = P.simhash_pairs_to_page_pairs(
+            sim_pairs, reps, id_col="rep", sim_col="simhash64"
+        ).withColumn(
+            "score", F.lit(None).cast("double")
+        ).select("a", "b", "source", "score")
+        ph_edges = mat("edges_pigeonhole", ph_edges, t)
+
+    # -- stage: substring-overlap candidates (anchor hashing) ---------------
+    sub_edges = None
+    if enable_substring:
+        with stage_timer(metrics, "edges_substring") as t:
+            rep_texts = sigs.join(reps.select("digest", "rep"), "digest") \
+                .select(F.col("rep").alias("id"), "text")
+            sub_edges = substring_candidates(
+                rep_texts, id_col="id", text_col="text", cfg=cfg,
+            ).select("a", "b", "source", "score")
+            sub_edges = mat("edges_substring", sub_edges, t)
+
+    # -- stage: union candidate pairs ---------------------------------------
+    with stage_timer(metrics, "candidate_pairs") as t:
+        edges = exact_edges.select("a", "b").withColumn("source", F.lit("exact")) \
+            .withColumn("score", F.lit(1.0))
+        parts = [edges, lsh_edges, ph_edges]
+        if sub_edges is not None:
+            parts.append(sub_edges)
+        candidate_pairs = parts[0]
+        for p in parts[1:]:
+            candidate_pairs = candidate_pairs.unionByName(p)
+        candidate_pairs = candidate_pairs.groupBy("a", "b").agg(
+            F.min("source").alias("source"), F.max("score").alias("score"))
+        candidate_pairs = mat("candidate_pairs", candidate_pairs, t)
+
+    # -- stage: connected components (J4) -----------------------------------
+    with stage_timer(metrics, "clusters") as t:
+        vertices = simhashes.select(F.col("page_id").alias("id"))
+        cc = connected_components(candidate_pairs.select("a", "b"), vertices)
+        clusters = simhashes.select("url", "warc_ts", "page_id").join(
+            cc.labels.withColumnRenamed("id", "page_id"), "page_id", "left"
+        ).withColumn("cluster_id", F.coalesce("cluster_id", "page_id"))
+        clusters = mat("clusters", clusters, t)
+
+    return PipelineResult(
+        pages=prepped, signatures=sigs, simhashes=simhashes,
+        candidate_pairs=candidate_pairs, clusters=clusters, metrics=metrics,
+        cc_iterations=cc.iterations, cc_converged=cc.converged,
+    )
+
+
+def build_simhash_index(simhashes: DataFrame,
+                        cfg: WddConfig = DEFAULT) -> DataFrame:
+    """Query-serving layout (S3): surt_key + ts14 + b64 simhash, bucketed by
+    url hash so point lookups prune to one bucket (the parquet fallback for
+    Iceberg's bucket(N, url) transform — SURVEY.md §7.6)."""
+    return (
+        simhashes
+        .withColumn("surt_key", udfs.surt_key_udf("url"))
+        .withColumn("ts14", F.date_format("warc_ts", "yyyyMMddHHmmss"))
+        .withColumn("simhash_b64", udfs.simhash_b64_udf("simhash64"))
+        .withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.url_buckets)))
+        .repartition(cfg.url_buckets, "bucket")
+        .sortWithinPartitions("surt_key", "ts14")
+    )
