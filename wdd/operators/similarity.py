@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * `cosine_topk` — exact brute-force top-k, pure built-ins
+    (zip_with/aggregate dot products + a per-query rank window). This is the
+    correctness baseline and the right plan when the query side is small
+    (broadcast the queries, one pass over the corpus, partial top-k per
+    partition via the window after AQE coalesce).
+  * `lsh_ann_topk` — the scale path: random-hyperplane (sign) LSH buckets.
+    Signatures come from one numpy matmul per Arrow batch (hyperplanes are
+    seeded module state, identical on every executor); candidates are
+    bucket-equi-joined (multiprobe over single-bit flips optional), then
+    exactly re-ranked with the same cosine expression. At 100 TB the bucket
+    join replaces the O(Q x N) cross product with O(Q x N / 2^bits) expected
+    work, the same equi-join shape Catalyst already optimizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+_ANN_SEED = 1337
+
+
+def _norm_col(vec: str):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+
+
+def dot_col(a: str, b: str):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Output: (query_id, vec_id, cosine, rank). Ties broken by vec_id for
+    determinism. Queries are broadcast (small side)."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                      _norm_col(vec_col).alias("_cn"))
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"),
+                       _norm_col(vec_col).alias("_qn"))
+    scored = (
+        c.join(F.broadcast(q), F.col(qid_col) != F.col(id_col), "inner")
+        if qid_col == id_col else c.crossJoin(F.broadcast(q))
+    ).withColumn(
+        "cosine",
+        (dot_col("_cv", "_qv")
+         / (F.col("_cn") * F.col("_qn"))).cast("double"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "cosine", "rank"))
+
+
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(_ANN_SEED))
+    return rng.standard_normal((dim, bits)).astype(np.float64)
+
+
+def _make_sign_bucket_udf(dim: int, bits: int):
+    H = _hyperplanes(dim, bits)
+
+    @pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (M @ H) > 0                       # (n, bits)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        return pd.Series((signs @ weights).astype(np.int64))
+    return bucket_udf
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+                 bits: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 qid_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join + exact cosine re-rank.
+
+    Recall improves with fewer bits (bigger buckets) — bits trades compute
+    for recall exactly like IVF nprobe. Single-bit multiprobe on the query
+    side (bits+1 probes) keeps recall high at small bucket sizes."""
+    bucket = _make_sign_bucket_udf(dim, bits)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"),
+                      _norm_col(vec_col).alias("_cn"),
+                      bucket(vec_col).alias("_bkt"))
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"),
+                       _norm_col(vec_col).alias("_qn"),
+                       bucket(vec_col).alias("_qbkt"))
+    # multiprobe: the query's own bucket + every single-bit flip
+    probes = F.array(F.col("_qbkt"), *[
+        F.col("_qbkt").bitwiseXOR(F.lit(1 << i)) for i in range(bits)
+    ])
+    q = q.withColumn("_bkt", F.explode(probes)).drop("_qbkt")
+    scored = (
+        c.join(F.broadcast(q), "_bkt")
+        .withColumn("cosine",
+                    (dot_col("_cv", "_qv")
+                     / (F.col("_cn") * F.col("_qn"))).cast("double"))
+        .dropDuplicates([qid_col, id_col])
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "cosine", "rank"))

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data curation over `documents`-shaped
+tables: token counting, quality scoring, language ID, fingerprinting.
+
+Everything except the winnowing fingerprint is pure pyspark.sql built-ins
+(JVM, whole-stage codegen, SQL-oracle-checkable); the winnowing fingerprint
+reuses the rolling-anchor kernel (wdd.operators.substring).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from wdd.config import DEFAULT
+
+# Small per-language stopword profiles (public common function words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "mit"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+}
+
+# BPE-ish word/piece splitter: word chars runs, digits runs, single punct.
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens_col(text_col: str) -> Column:
+    """Whitespace tokens (the reference's split semantics, discover.py:53)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces + distincts."""
+    toks = tokens_col(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "n_pieces",
+            F.regexp_count(F.lower(F.col(text_col)), F.lit(TOKEN_RE)))
+        .withColumn("n_chars", F.length(text_col))
+    )
+
+
+def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics (Gopher/C4-style): length, mean word length,
+    distinct-token ratio, stopword ratio, punctuation density."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    out = (
+        df.withColumn("mean_word_len",
+                      (F.length(F.regexp_replace(text_col, r"\s+", ""))
+                       / F.greatest(n, F.lit(1))).cast("double"))
+        .withColumn("distinct_ratio",
+                    (F.size(F.array_distinct(toks))
+                     / F.greatest(n, F.lit(1))).cast("double"))
+        .withColumn("stopword_ratio",
+                    (F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+                     / F.greatest(n, F.lit(1))).cast("double"))
+        .withColumn("punct_ratio",
+                    (F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", ""))
+                     / F.greatest(F.length(text_col), F.lit(1))).cast("double"))
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("mean_word_len").between(2.0, 12.0)
+         & (F.col("distinct_ratio") > 0.1)
+         & (F.col("punct_ratio") < 0.3)
+         & (F.size(toks) >= 5)),
+    )
+
+
+def _contains(arr_col):
+    def _f(t):
+        return F.array_contains(arr_col, t)
+    return _f
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 langs: list[str] | None = None) -> DataFrame:
+    """n-gram/stopword-profile language ID: argmax over per-language stopword
+    hit ratios; 'und' when nothing matches. Pure built-ins."""
+    langs = langs or list(STOPWORDS)
+    toks = tokens_col(text_col)
+    scores = []
+    for l in langs:
+        # intersection with the stopword set, counting duplicate hits
+        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS[l]])
+        hits = F.size(F.filter(toks, _contains(stop_arr)))
+        scores.append(F.struct(
+            (hits / F.greatest(F.size(toks), F.lit(1)))
+            .cast("double").alias("score"),
+            F.lit(l).alias("lang"),
+        ))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return (df.withColumn("_best", best)
+            .withColumn("lang_pred",
+                        F.when(F.col("_best.score") > 0.0, F.col("_best.lang"))
+                        .otherwise(F.lit("und")))
+            .withColumn("lang_score", F.col("_best.score"))
+            .drop("_best"))
+
+
+def with_md5_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-content fingerprint (SQL-oracle-able; md5 over normalized ws)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def _make_winnow_udf(L: int, q: int, k: int):
+    from wdd.operators.substring import rolling_anchor_hashes
+
+    @pandas_udf(ArrayType(LongType()))
+    def winnow_udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            h = rolling_anchor_hashes(t if isinstance(t, str) else "", L, q)
+            out.append(sorted(h.tolist())[:k])
+        return pd.Series(out)
+    return winnow_udf
+
+
+def with_winnow_fingerprint(df: DataFrame, text_col: str = "text",
+                            k: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the k smallest content-defined
+    rolling-hash anchors (robust to local edits, unlike md5)."""
+    udf = _make_winnow_udf(DEFAULT.min_overlap_chars, DEFAULT.anchor_modulus, k)
+    return df.withColumn("winnow_fp", udf(text_col))

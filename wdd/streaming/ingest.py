@@ -1,0 +1,54 @@
+"""Incremental ingest via Structured Streaming (SURVEY.md §2.8).
+
+The reference is task-queue incremental (Celery jobs per url/year,
+web.py:121-123); semantically that's "new captures arrive, compute their
+simhashes, append to the store". Here: a file-source stream over the pages
+directory, trigger availableNow (drain-everything-then-stop — the batch-first
+design), foreachBatch running the SAME deterministic signature stage as the
+batch pipeline, appending to a parquet sink. Stream checkpointing gives
+exactly-once file-level progress, replacing the reference's job-state
+machinery; no watermarks/event-time windows are needed (the reference has no
+late-data semantics — Redis TTL is operational, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wdd import udfs
+from wdd.operators import dedup as D
+
+
+def _signature_batch(batch: DataFrame) -> DataFrame:
+    prepped = D.with_page_id(D.with_digest(batch))
+    uniq = prepped.select("digest", "html").dropDuplicates(["digest"])
+    sigs = uniq.select(
+        "digest", udfs.extract_features_udf("html").alias("x")
+    ).select(
+        "digest",
+        udfs.simhash64_udf("x.features").alias("simhash64"),
+        udfs.minhash128_udf("x.text").alias("signature"),
+    )
+    return prepped.select("url", "warc_ts", "digest", "page_id") \
+        .join(sigs, "digest")
+
+
+def run_incremental_simhash(spark: SparkSession, pages_dir: str,
+                            out_dir: str, checkpoint_dir: str,
+                            schema: str | None = None) -> None:
+    """Drain all new page files into the simhashes sink, then stop."""
+    schema = schema or ("url string, warc_ts timestamp, html binary, "
+                        "text string, lang string")
+    stream = (spark.readStream.schema(schema).parquet(pages_dir))
+
+    def _sink(batch: DataFrame, batch_id: int):
+        out = _signature_batch(batch)
+        out.write.mode("append").parquet(out_dir)
+
+    (stream.writeStream
+     .foreachBatch(_sink)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
