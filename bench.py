@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline near-duplicate pipeline + representative operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra env knobs:
+  WDD_BENCH_REPLICAS=K  replicate the synthetic pages corpus K-fold with
+                        distinct content suffixes (used by BENCH/run_scaling.py
+                        to make the workload compute-bound for the N-vs-4N
+                        scaling-efficiency measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _replicate_pages(pages, replicas: int):
+    """K deterministic content-distinct copies (url + html payload suffixed
+    with the replica id, so per-replica dup structure is preserved)."""
+    if replicas <= 1:
+        return pages
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    out = pages.select("*", rep)
+    return out.select(
+        F.concat("url", F.lit("?rep="), F.col("rep").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.unix_timestamp("warc_ts") + F.col("rep")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.decode("html", "UTF-8"),
+                     F.lit("<p>rep"), F.col("rep").cast("string"), F.lit("</p>")),
+            "UTF-8").alias("html"),
+        F.concat("text", F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+        "lang",
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("WDD_BENCH_REPLICAS", "1"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from wdd.session import get_spark
+    from wdd.pipeline import run_dedup_pipeline
+    from wdd.sources.pages import synth_pages
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("wdd-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full near-dup pipeline (extract -> hash -> candidates
+    # -> clusters), timed end-to-end including the final materialization ----
+    pages, truth = synth_pages(spark, sf_dir)
+    pages = _replicate_pages(pages, replicas).localCheckpoint(eager=True)
+    n_pages = pages.count()
+
+    # JIT/codegen warmup on a small slice so the measurement reflects
+    # steady-state throughput, not first-run JVM compilation
+    warm = run_dedup_pipeline(spark, pages.limit(300))
+    warm.clusters.write.format("noop").mode("overwrite").save()
+
+    t0 = time.monotonic()
+    res = run_dedup_pipeline(spark, pages)
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    pipeline_wall = time.monotonic() - t0
+    timings["dedup_pipeline"] = round(pipeline_wall, 3)
+
+    # recall vs planted truth (not timed into the headline)
+    cl = res.clusters.select("url", "warc_ts", "cluster_id")
+    t = (truth
+         .join(cl.withColumnRenamed("url", "url_a")
+               .withColumnRenamed("warc_ts", "ts_a")
+               .withColumnRenamed("cluster_id", "c_a"), ["url_a", "ts_a"])
+         .join(cl.withColumnRenamed("url", "url_b")
+               .withColumnRenamed("warc_ts", "ts_b")
+               .withColumnRenamed("cluster_id", "c_b"), ["url_b", "ts_b"]))
+    agg = t.agg(F.count("*").alias("n"),
+                F.sum((F.col("c_a") == F.col("c_b")).cast("int")).alias("hit")
+                ).collect()[0]
+    recall = (agg.hit / agg.n) if agg.n else None
+
+    # --- representative operator queries (driver-table workloads) ----------
+    qmap = entrymod.queries()
+    for name in ("wordcount_top", "collapse_events", "paginate_events",
+                 "regroup_daily", "json_props", "pricing_summary",
+                 "top_customers", "cosine_topk", "lsh_minhash_pairs",
+                 "pigeonhole_surrogate", "token_stats", "quality_scores"):
+        t0 = time.monotonic()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    pages_per_sec = n_pages / pipeline_wall
+    print(json.dumps({
+        "metric": "dedup_pipeline_wall",
+        "value": round(pipeline_wall, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pages": n_pages,
+        "replicas": replicas,
+        "cpus": cpus,
+        "pages_per_sec": round(pages_per_sec, 2),
+        "clusters": n_clusters,
+        "dup_pair_recall": round(recall, 4) if recall is not None else None,
+        "cc_iterations": res.cc_iterations,
+        "cc_converged": res.cc_converged,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,7 +92,14 @@ def test_substring_stage_end_to_end(spark):
         (2, shared + "zzz yyy xxx " * 30),
         (3, "totally unrelated content words " * 40),
     ], ["id", "text"])
+    # fast path: anchor-hash evidence, score = configured lower bound
     out = substring_candidates(docs).collect()
     got = {(r.a, r.b) for r in out}
     assert got == {(1, 2)}
     assert all(r.score >= 100 for r in out)
+    # precise path: exact suffix-array LCS as score
+    out_p = substring_candidates(docs, precise=True).collect()
+    assert {(r.a, r.b) for r in out_p} == {(1, 2)}
+    shared_len = len(
+        "the quick brown fox jumps over the lazy dog and keeps running " * 4)
+    assert all(r.score >= shared_len - 1 for r in out_p)

