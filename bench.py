@@ -45,6 +45,20 @@ def _replicate_pages(pages, replicas: int):
     )
 
 
+def _replicate_truth(truth, replicas: int):
+    if replicas <= 1:
+        return truth
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    out = truth.select("*", rep)
+    def _u(c):
+        return F.concat(c, F.lit("?rep="), F.col("rep").cast("string"))
+    def _t(c):
+        return F.timestamp_seconds(F.unix_timestamp(c) + F.col("rep"))
+    return out.select(
+        _u(F.col("url_a")).alias("url_a"), _t("ts_a").alias("ts_a"),
+        _u(F.col("url_b")).alias("url_b"), _t("ts_b").alias("ts_b"), "kind")
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -56,7 +70,11 @@ def main():
     from wdd.sources.pages import synth_pages
     import __spark_entry__ as entrymod
 
-    spark = get_spark("wdd-bench", cpus=cpus)
+    spark = get_spark("wdd-bench", cpus=cpus, extra_conf={
+        # scale the shuffle width with the core count so neither leg of the
+        # N-vs-4N scaling measurement is partition-starved
+        "spark.sql.shuffle.partitions": str(max(32, 2 * cpus)),
+    })
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -65,6 +83,7 @@ def main():
     # -> clusters), timed end-to-end including the final materialization ----
     pages, truth = synth_pages(spark, sf_dir)
     pages = _replicate_pages(pages, replicas).localCheckpoint(eager=True)
+    truth = _replicate_truth(truth, replicas)
     n_pages = pages.count()
 
     # JIT/codegen warmup on a small slice so the measurement reflects
