@@ -76,3 +76,21 @@ def test_surt_and_b64_udfs(spark):
     assert r.k == surt("http://example.com") == "com,example)/"
     assert r.b64 == simhash_b64(123456789, 64)
     assert r.valid is True
+
+
+def test_simhash_bytes_udf_256_reference_prod_config(spark):
+    """f=256 path (reference conf.yml.example:2): 32 little-endian bytes,
+    equal to the pure kernel + b64-roundtrip-compatible."""
+    import base64
+    from wdd.udfs import make_simhash_bytes_udf
+    udf256 = make_simhash_bytes_udf(256)
+    df = spark.createDataFrame(
+        [({"one": 1, "two": 2, "three": 3},)],
+        "features map<string,int>").select(udf256("features").alias("p"))
+    packed = bytes(df.collect()[0].p)
+    assert len(packed) == 32
+    h = calculate_simhash({"one": 1, "two": 2, "three": 3}, 256,
+                          custom_hash_function)
+    from wdd.kernels.simhash import pack_simhash_to_bytes
+    assert packed == pack_simhash_to_bytes(h, 256)
+    assert base64.b64decode(base64.b64encode(packed)) == packed

@@ -91,6 +91,26 @@ def simhash_b64_udf(simhash64: pd.Series) -> pd.Series:
     ])
 
 
+def make_simhash_bytes_udf(simhash_size: int = 256):
+    """Reference-prod config path (f=256, conf.yml.example:2): packed
+    little-endian bytes (BinaryType) per discover.py:71-77, blake2b token
+    hash. Width-parametric; the pure kernel handles any f <= 512."""
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def simhash_bytes_udf(features: pd.Series) -> pd.Series:
+        out = []
+        for feats in features:
+            if not feats:
+                out.append(None)
+                continue
+            h = _simhash.calculate_simhash(dict(feats), simhash_size,
+                                           _simhash.custom_hash_function)
+            out.append(_simhash.pack_simhash_to_bytes(h, simhash_size))
+        return pd.Series(out)
+    return simhash_bytes_udf
+
+
 @pandas_udf(StringType())
 def surt_key_udf(url: pd.Series) -> pd.Series:
     """F3: SURT canonical grouping key."""
