@@ -26,21 +26,28 @@ from pyspark.sql import functions as F
 
 
 def _replicate_pages(pages, replicas: int):
-    """K deterministic content-distinct copies (url + html payload suffixed
-    with the replica id, so per-replica dup structure is preserved)."""
+    """K deterministic content-DISTINCT copies. Every token gets a per-replica
+    suffix, so no shingle survives across replicas (cross-replica Jaccard = 0)
+    — each replica keeps the corpus's internal dup structure without welding
+    replicas into one giant near-dup component (a trailing-token-only suffix
+    left J ~ 0.95 across replicas and inflated candidate volume 64x)."""
     if replicas <= 1:
         return pages
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
     out = pages.select("*", rep)
+    # suffix must stay alphanumeric: punctuation would be split off by the
+    # extraction kernel and break the text == extract(html) invariant
+    suffix = F.concat(F.lit("xr"), F.col("rep").cast("string"))
+    new_text = F.concat_ws(
+        " ", F.transform(F.split("text", " "),
+                         lambda w: F.concat(w, suffix)))
     return out.select(
         F.concat("url", F.lit("?rep="), F.col("rep").cast("string")).alias("url"),
         F.timestamp_seconds(
             F.unix_timestamp("warc_ts") + F.col("rep")).alias("warc_ts"),
-        F.encode(
-            F.concat(F.decode("html", "UTF-8"),
-                     F.lit("<p>rep"), F.col("rep").cast("string"), F.lit("</p>")),
-            "UTF-8").alias("html"),
-        F.concat("text", F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+        F.encode(F.concat(F.lit("<html><body><p>"), new_text,
+                          F.lit("</p></body></html>")), "UTF-8").alias("html"),
+        new_text.alias("text"),
         "lang",
     )
 

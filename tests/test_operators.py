@@ -103,3 +103,22 @@ def test_substring_stage_end_to_end(spark):
     shared_len = len(
         "the quick brown fox jumps over the lazy dog and keeps running " * 4)
     assert all(r.score >= shared_len - 1 for r in out_p)
+
+
+def test_pairs_from_groups_scalable_mega_group(spark):
+    """Huge groups take the salted two-level path: linear edge count,
+    connectivity identical to full pairing."""
+    from wdd.operators.pairs import pairs_from_groups_scalable
+    from wdd.operators.components import connected_components
+    rows = [("mega", i) for i in range(5000)] + [("tiny", 7_000_000 + j)
+                                                 for j in range(3)]
+    df = spark.createDataFrame(rows, ["k", "id"])
+    pairs = pairs_from_groups_scalable(df, ["k"], "id", cap=4,
+                                       huge_group_rows=500)
+    n_pairs = pairs.count()
+    assert n_pairs < 2 * 5003  # linear, not quadratic (C(5000,2) ~ 12.5M)
+    cc = connected_components(pairs.select("a", "b"))
+    labels = {r.id: r.cluster_id for r in cc.labels.collect()}
+    mega_labels = {labels[i] for i in range(5000)}
+    assert mega_labels == {0}
+    assert {labels[7_000_000 + j] for j in range(3)} == {7_000_000}

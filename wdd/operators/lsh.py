@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wdd.config import DEFAULT, WddConfig
-from wdd.operators.pairs import dedup_pairs, jaccard_estimate_col, pairs_from_groups
+from wdd.operators.pairs import (dedup_pairs, jaccard_estimate_col,
+                                 pairs_from_groups_scalable)
 
 
 def band_keys_col(sig_col: str, bands: int, rows: int):
@@ -43,8 +44,10 @@ def lsh_candidates(minhashes: DataFrame, id_col: str = "page_id",
             band_keys_col(sig_col, cfg.lsh_bands, cfg.lsh_rows)
         ).alias("band", "band_key"))
     )
-    pairs = pairs_from_groups(exploded, ["band", "band_key"], id_col,
-                              cap=cfg.band_group_cap, source="lsh")
+    pairs = pairs_from_groups_scalable(
+        exploded, ["band", "band_key"], id_col,
+        cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
+        source="lsh")
     return dedup_pairs(pairs)
 
 

@@ -15,7 +15,7 @@ unaffected while the shuffle volume stays bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wdd.config import DEFAULT
@@ -62,6 +62,62 @@ def pairs_from_groups(df: DataFrame, group_cols: list[str], id_col: str,
     if source is not None:
         pairs = pairs.withColumn("source", F.lit(source))
     return pairs
+
+
+def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
+                               id_col: str,
+                               cap: int = DEFAULT.band_group_cap,
+                               huge_group_rows: int = 10_000,
+                               source: str | None = None) -> DataFrame:
+    """pairs_from_groups with mega-group protection (SURVEY.md §4.2).
+
+    collect_set materializes a whole group in one reducer — fine for band
+    groups up to ~10^4, fatal for boilerplate mega-bands (10^7+ members at
+    web scale). Groups above `huge_group_rows` take a salted two-level path
+    built only from aggregates and joins (no giant array ever exists):
+
+      salt = pmod(id, ceil(|g| / huge_group_rows))
+      level 1: star edges member -> min(member) within (group, salt)
+      level 2: star edges salt-min -> min over the whole group
+
+    Connectivity (hence connected-component recall) is identical to full
+    pairing; emitted edges are linear in group size.
+
+    Group sizing uses groupBy-count (partial-aggregated) + a BROADCAST
+    semi/anti join of the huge keys — huge groups are by definition few, so
+    the key set always broadcasts. (A count window over the exploded table
+    would add a full sort-exchange to every candidate stage.)
+    """
+    sizes = (df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gsz"))
+             .where(F.col("_gsz") > huge_group_rows)
+             .localCheckpoint(eager=True))
+
+    if sizes.isEmpty():
+        return pairs_from_groups(df, group_cols, id_col, cap=cap,
+                                 source=source)
+
+    huge_keys = F.broadcast(sizes)
+    small = df.join(huge_keys.select(*group_cols), group_cols, "left_anti")
+    out = pairs_from_groups(small, group_cols, id_col, cap=cap, source=source)
+
+    huge = df.join(huge_keys, group_cols)
+    huge = huge.withColumn(
+        "_salt", F.pmod(F.col(id_col),
+                        F.ceil(F.col("_gsz") / huge_group_rows).cast("long")))
+    sw = Window.partitionBy(*group_cols, "_salt")
+    huge = huge.withColumn("_smin", F.min(id_col).over(sw))
+    lvl1 = (huge.where(F.col(id_col) != F.col("_smin"))
+            .select(F.col("_smin").alias("a"), F.col(id_col).alias("b")))
+    gmins = huge.groupBy(*group_cols).agg(F.min(id_col).alias("_gmin"))
+    lvl2 = (huge.select(*group_cols, "_salt", "_smin")
+            .dropDuplicates(group_cols + ["_salt"])
+            .join(gmins, group_cols)
+            .where(F.col("_smin") != F.col("_gmin"))
+            .select(F.col("_gmin").alias("a"), F.col("_smin").alias("b")))
+    huge_edges = lvl1.union(lvl2).dropDuplicates(["a", "b"])
+    if source is not None:
+        huge_edges = huge_edges.withColumn("source", F.lit(source))
+    return out.unionByName(huge_edges)
 
 
 def canonicalize_pairs(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wdd.config import DEFAULT, WddConfig
-from wdd.operators.pairs import dedup_pairs, pairs_from_groups
+from wdd.operators.pairs import dedup_pairs, pairs_from_groups_scalable
 
 
 def block_keys_col(sim_col: str, n_blocks: int, bits: int):
@@ -45,8 +45,10 @@ def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
         F.posexplode(block_keys_col("sim", cfg.n_blocks, cfg.simhash_size))
         .alias("block", "block_val"),
     )
-    pairs = pairs_from_groups(exploded, ["block", "block_val"], "sim",
-                              cap=cfg.band_group_cap, source="pigeonhole")
+    pairs = pairs_from_groups_scalable(
+        exploded, ["block", "block_val"], "sim",
+        cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
+        source="pigeonhole")
     verified = pairs.where(
         F.bit_count(F.col("a").bitwiseXOR(F.col("b"))) <= cfg.hamming_k
     )

@@ -31,7 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from wdd.config import DEFAULT, WddConfig
-from wdd.operators.pairs import dedup_pairs, pairs_from_groups
+from wdd.operators.pairs import dedup_pairs, pairs_from_groups_scalable
 
 _B = np.uint64(1000003)  # odd polynomial base; arithmetic wraps mod 2^64
 
@@ -75,12 +75,14 @@ def anchor_candidates(docs: DataFrame, id_col: str, text_col: str,
                       cfg: WddConfig = DEFAULT) -> DataFrame:
     """Candidate pairs of docs sharing >=1 exact L-char anchored window."""
     udf = _make_anchor_udf(cfg.min_overlap_chars, cfg.anchor_modulus)
-    exploded = (
-        docs.select(F.col(id_col), F.explode(udf(text_col)).alias("anchor"))
-        .dropDuplicates([id_col, "anchor"])
-    )
-    pairs = pairs_from_groups(exploded, ["anchor"], id_col,
-                              cap=cfg.band_group_cap, source="substring")
+    # rolling_anchor_hashes returns np.unique output, so (id, anchor) rows
+    # are already distinct — no dedup shuffle needed here
+    exploded = docs.select(F.col(id_col),
+                           F.explode(udf(text_col)).alias("anchor"))
+    pairs = pairs_from_groups_scalable(
+        exploded, ["anchor"], id_col,
+        cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
+        source="substring")
     return dedup_pairs(pairs)
 
 
