@@ -146,7 +146,7 @@ def q_paginate_events(spark, sf_dir):
     """L3: deterministic pagination — page 3 at 100/page."""
     ev = _events(spark, sf_dir)
     w = Window.orderBy("ts", "event_id")
-    return (ev.withColumn("rn", F.row_number().over(w))
+    return (ev.withColumn("rn", F.row_number().over(w).cast("long"))
             .where((F.col("rn") > 200) & (F.col("rn") <= 300))
             .select("rn", "event_id", "event_type"))
 
@@ -156,17 +156,18 @@ def q_ts_slices(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (ev.where(F.dayofmonth("ts") <= 3)
             .select("event_id",
-                    F.year("ts").alias("y"),
-                    F.month("ts").alias("m"),
-                    F.dayofmonth("ts").alias("d"),
+                    F.year("ts").cast("long").alias("y"),
+                    F.month("ts").cast("long").alias("m"),
+                    F.dayofmonth("ts").cast("long").alias("d"),
                     F.date_format("ts", "HHmmss").alias("hms")))
 
 
 def q_regroup_daily(spark, sf_dir):
     """A4: hierarchical regroup of events by y/m/d."""
     ev = _events(spark, sf_dir)
-    return (ev.groupBy(F.year("ts").alias("y"), F.month("ts").alias("m"),
-                       F.dayofmonth("ts").alias("d"))
+    return (ev.groupBy(F.year("ts").cast("long").alias("y"),
+                       F.month("ts").cast("long").alias("m"),
+                       F.dayofmonth("ts").cast("long").alias("d"))
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
@@ -177,7 +178,8 @@ def q_dictionary_encode(spark, sf_dir):
     c = _corpus(spark, sf_dir).withColumn("digest", F.md5("text"))
     firsts = c.groupBy("digest").agg(F.min("doc_id").alias("first_doc"))
     w = Window.orderBy("first_doc")
-    return firsts.withColumn("hash_id", F.row_number().over(w) - 1) \
+    return firsts.withColumn(
+        "hash_id", (F.row_number().over(w) - 1).cast("long")) \
         .select("digest", "first_doc", "hash_id")
 
 
@@ -202,7 +204,8 @@ def q_pigeonhole_surrogate(spark, sf_dir):
     pairs = pigeonhole_candidates(c, id_col="h", cfg=cfg)
     return pairs.select(
         F.col("a").alias("h_a"), F.col("b").alias("h_b"),
-        F.bit_count(F.col("a").bitwiseXOR(F.col("b"))).alias("hamming"))
+        F.bit_count(F.col("a").bitwiseXOR(F.col("b"))).cast("long")
+        .alias("hamming"))
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -213,7 +216,8 @@ def q_cosine_topk(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = cosine_topk(emb, q, k=5)
-    return out.select("query_id", "vec_id", "rank",
+    return out.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"),
                       F.round("cosine", 6).alias("cosine"))
 
 
@@ -221,8 +225,11 @@ def q_token_stats(spark, sf_dir):
     """Token counting (whitespace + BPE-ish regex pieces)."""
     from wdd.operators.textstats import with_token_stats
     return with_token_stats(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "n_distinct_tokens", "n_pieces",
-        F.length("text").alias("len_chars"))
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.length("text").cast("long").alias("len_chars"))
 
 
 def q_quality_scores(spark, sf_dir):
@@ -437,7 +444,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "paginate_events": """
-            SELECT rn, event_id, event_type FROM (
+            SELECT rn::BIGINT AS rn, event_id, event_type FROM (
               SELECT row_number() OVER (ORDER BY ts, event_id) AS rn,
                      event_id, event_type
               FROM events
@@ -445,12 +452,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ts_slices": """
             SELECT event_id,
-                   year(ts) AS y, month(ts) AS m, day(ts) AS d,
+                   year(ts)::BIGINT AS y, month(ts)::BIGINT AS m,
+                   day(ts)::BIGINT AS d,
                    strftime(ts, '%H%M%S') AS hms
             FROM events WHERE day(ts) <= 3
         """,
         "regroup_daily": """
-            SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+            SELECT year(ts)::BIGINT AS y, month(ts)::BIGINT AS m,
+                   day(ts)::BIGINT AS d,
                    count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users,
                    round(sum(value), 4) AS sum_value
@@ -463,7 +472,7 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus GROUP BY 1
             )
             SELECT digest, first_doc,
-                   row_number() OVER (ORDER BY first_doc) - 1 AS hash_id
+                   (row_number() OVER (ORDER BY first_doc) - 1)::BIGINT AS hash_id
             FROM firsts
         """,
         "pigeonhole_surrogate": f"""
@@ -487,7 +496,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             dh AS (SELECT DISTINCT h FROM planted)
             SELECT a.h AS h_a, b.h AS h_b,
-                   bit_count(xor(a.h, b.h)) AS hamming
+                   bit_count(xor(a.h, b.h))::BIGINT AS hamming
             FROM dh a JOIN dh b ON a.h < b.h
             WHERE ((a.h >> 0)  & 32767 = (b.h >> 0)  & 32767
                 OR (a.h >> 15) & 32767 = (b.h >> 15) & 32767
@@ -513,7 +522,8 @@ def oracle_sql() -> dict[str, str]:
                      cos
               FROM scored
             )
-            SELECT query_id, vec_id, rank, round(cos, 6) AS cosine
+            SELECT query_id, vec_id, rank::BIGINT AS rank,
+                   round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
         """,
         "token_stats": r"""

@@ -70,6 +70,10 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicas = int(os.environ.get("WDD_BENCH_REPLICAS", "1"))
+    # WDD_EXECUTORS=E switches to local-cluster[E, WDD_EXEC_CORES, mem]:
+    # E separate executor JVMs (the N-vs-4N scaling topology)
+    executors = os.environ.get("WDD_EXECUTORS")
+    exec_cores = int(os.environ.get("WDD_EXEC_CORES", "4"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from wdd.session import get_spark
@@ -77,11 +81,16 @@ def main():
     from wdd.sources.pages import synth_pages
     import __spark_entry__ as entrymod
 
-    spark = get_spark("wdd-bench", cpus=cpus, extra_conf={
-        # scale the shuffle width with the core count so neither leg of the
-        # N-vs-4N scaling measurement is partition-starved
-        "spark.sql.shuffle.partitions": str(max(32, 2 * cpus)),
-    })
+    total_cores = (int(executors) * exec_cores) if executors else cpus
+    spark = get_spark(
+        "wdd-bench", cpus=cpus,
+        executors=int(executors) if executors else None,
+        executor_cores=exec_cores,
+        extra_conf={
+            # scale the shuffle width with the core count so neither leg of
+            # the N-vs-4N scaling measurement is partition-starved
+            "spark.sql.shuffle.partitions": str(max(32, 2 * total_cores)),
+        })
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -137,7 +146,8 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pages": n_pages,
         "replicas": replicas,
-        "cpus": cpus,
+        "cpus": total_cores,
+        "executors": int(executors) if executors else None,
         "pages_per_sec": round(pages_per_sec, 2),
         "clusters": n_clusters,
         "dup_pair_recall": round(recall, 4) if recall is not None else None,

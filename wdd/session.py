@@ -15,12 +15,31 @@ from wdd.config import DEFAULT, WddConfig
 
 
 def get_spark(app_name: str = "wdd", cpus: int | None = None,
-              cfg: WddConfig = DEFAULT, extra_conf: dict | None = None) -> SparkSession:
+              cfg: WddConfig = DEFAULT, extra_conf: dict | None = None,
+              executors: int | None = None, executor_cores: int = 4,
+              executor_mem_mb: int = 6144) -> SparkSession:
+    """Local-threads session by default; pass `executors` for a
+    local-cluster[E, C, M] master — E separate executor JVM PROCESSES, the
+    sandbox stand-in for a real multi-executor cluster (used by the N-vs-4N
+    scaling evidence; thread-count scaling inside one JVM is bounded by
+    shared-heap GC and block-manager contention, not by the plan)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    executor_conf = {}
+    if executors is not None:
+        master = f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
+        # the local-cluster mem arg is WORKER capacity; executor JVMs still
+        # default to 1g without an explicit spark.executor.memory
+        executor_conf["spark.executor.memory"] = f"{executor_mem_mb}m"
+    else:
+        master = f"local[{cpus}]"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
+        # executor python workers must import wdd (same host, shared FS);
+        # cluster deployments ship dist/wdd.zip via spark-submit --py-files
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -32,6 +51,6 @@ def get_spark(app_name: str = "wdd", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**executor_conf, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
