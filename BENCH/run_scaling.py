@@ -47,6 +47,7 @@ def run_leg(executors: int, replicas: int, zpath: Path) -> dict:
     env = dict(os.environ,
                WDD_EXECUTORS=str(executors),
                WDD_EXEC_CORES="4",
+               WDD_DRIVER_MEM="12g",
                WDD_BENCH_REPLICAS=str(replicas))
     out = subprocess.run(
         [SPARK_SUBMIT, "--py-files", str(zpath), str(ROOT / "bench.py")],

@@ -69,16 +69,29 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
          .dropDuplicates(["a", "b"])
          .localCheckpoint(eager=True))
 
+    def _signature(edges_df) -> tuple:
+        """Order-insensitive edge-set fingerprint in ONE cheap aggregate
+        (replaces an exceptAll shuffle per round): count + two independent
+        64-bit hash sums. A false convergence needs a simultaneous collision
+        in both 64-bit sums at equal count (~2^-128)."""
+        row = edges_df.select(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-insensitive, overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(a, b))").alias("h1"),
+            F.expr("bit_xor(xxhash64(b, a, 7))").alias("h2"),
+        ).collect()[0]
+        return (row.n, row.h1, row.h2)
+
     iterations, converged = 0, False
-    prev_count = e.count()
+    prev_sig = _signature(e)
     for iterations in range(1, max_iter + 1):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        n2 = e2.count()
-        if n2 == prev_count and e2.exceptAll(e).isEmpty():
-            e = e2
+        sig = _signature(e2)
+        e = e2
+        if sig == prev_sig:
             converged = True
             break
-        e, prev_count = e2, n2
+        prev_sig = sig
 
     # at the fixpoint every edge is (node -> component min)
     labels = e.select(F.col("a").alias("id"), F.col("b").alias("label"))

@@ -101,10 +101,14 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             )
         sigs = mat("signatures", sigs, t)
 
-    # -- stage: page-level simhashes table (join back on digest) -----------
+    # -- stage: page-level simhashes table (join back on digest). The
+    # signatures side carries 128-int arrays — at scale it must NEVER be
+    # broadcast (AQE under-threshold misestimates have been observed to OOM
+    # the driver building a 400MB broadcast); pin a shuffle join explicitly.
     with stage_timer(metrics, "simhashes") as t:
         simhashes = prepped.select("url", "warc_ts", "digest", "page_id").join(
-            sigs.select("digest", "simhash64", "signature"), "digest")
+            sigs.select("digest", "simhash64", "signature").hint("shuffle_hash"),
+            "digest")
         simhashes = mat("simhashes", simhashes, t)
 
     # digest representative page (min page_id) — candidate graph runs on reps
