@@ -104,11 +104,11 @@ def main():
 
     # JIT/codegen warmup on a small slice so the measurement reflects
     # steady-state throughput, not first-run JVM compilation
-    warm = run_dedup_pipeline(spark, pages.limit(300))
+    warm = run_dedup_pipeline(spark, pages.limit(300), eager_stages=False)
     warm.clusters.write.format("noop").mode("overwrite").save()
 
     t0 = time.monotonic()
-    res = run_dedup_pipeline(spark, pages)
+    res = run_dedup_pipeline(spark, pages, eager_stages=False)
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     pipeline_wall = time.monotonic() - t0
     timings["dedup_pipeline"] = round(pipeline_wall, 3)

@@ -49,14 +49,25 @@ class PipelineResult:
 def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                        store: StageStore | None = None,
                        use_precomputed_text: bool = False,
-                       enable_substring: bool = True) -> PipelineResult:
+                       enable_substring: bool = True,
+                       eager_stages: bool = True) -> PipelineResult:
+    """eager_stages=True materializes + counts every stage (manifest-grade
+    observability; the default). eager_stages=False persists only the frames
+    that feed multiple consumers and defers everything else to the final
+    actions — ~18 fewer Spark jobs per run, for latency-sensitive paths
+    (per-stage wall metrics then cover only plan construction)."""
     metrics = MetricsCollector()
 
-    def mat(name: str, df: DataFrame, t: stage_timer) -> DataFrame:
+    def mat(name: str, df: DataFrame, t: stage_timer,
+            shared: bool = False) -> DataFrame:
         if store is not None:
             out = store.materialize(name, df)
             m = store.manifest(name)
             t.done(m["rows"], m["partitions"], str(store._dir(name)))
+            return out
+        if not eager_stages:
+            out = df.persist() if shared else df
+            t.done(-1, -1)
             return out
         out = df.localCheckpoint(eager=True)
         t.done(out.count(), out.rdd.getNumPartitions())
@@ -65,7 +76,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # -- stage: prep (digest + page identity; narrow, no shuffle) ----------
     with stage_timer(metrics, "prep") as t:
         prepped = D.with_page_id(D.with_digest(pages))
-        prepped = mat("prep", prepped, t)
+        prepped = mat("prep", prepped, t, shared=True)
 
     # The expensive-UDF stages must stay wide: AQE coalesces the small
     # dropDuplicates shuffle to 1 partition on small inputs, which would
@@ -81,8 +92,9 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     with stage_timer(metrics, "signatures") as t:
         if use_precomputed_text:
             feats = prepped.select("digest", "text") \
-                .dropDuplicates(["digest"]).repartition(udf_parallelism) \
-                .localCheckpoint(eager=True)
+                .dropDuplicates(["digest"]).repartition(udf_parallelism)
+            feats = feats.localCheckpoint(eager=True) if eager_stages \
+                else feats.persist()
             sigs = feats.select(
                 "digest", "text",
                 udfs.simhash64_text_udf("text").alias("simhash64"),
@@ -92,14 +104,15 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             uniq = prepped.select("digest", "html") \
                 .dropDuplicates(["digest"]).repartition(udf_parallelism)
             feats = uniq.select(
-                "digest", udfs.extract_features_udf("html").alias("x")
-            ).localCheckpoint(eager=True)
+                "digest", udfs.extract_features_udf("html").alias("x"))
+            feats = feats.localCheckpoint(eager=True) if eager_stages \
+                else feats.persist()
             sigs = feats.select(
                 "digest", F.col("x.text").alias("text"),
                 udfs.simhash64_udf("x.features").alias("simhash64"),
                 udfs.minhash128_udf("x.text").alias("signature"),
             )
-        sigs = mat("signatures", sigs, t)
+        sigs = mat("signatures", sigs, t, shared=True)
 
     # -- stage: page-level simhashes table (join back on digest). The
     # signatures side carries 128-int arrays — at scale it must NEVER be
@@ -109,14 +122,14 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         simhashes = prepped.select("url", "warc_ts", "digest", "page_id").join(
             sigs.select("digest", "simhash64", "signature").hint("shuffle_hash"),
             "digest")
-        simhashes = mat("simhashes", simhashes, t)
+        simhashes = mat("simhashes", simhashes, t, shared=True)
 
     # digest representative page (min page_id) — candidate graph runs on reps
     reps = (simhashes.groupBy("digest")
             .agg(F.min("page_id").alias("rep"),
                  F.first("simhash64").alias("simhash64"),
                  F.first("signature").alias("signature")))
-    reps = reps.localCheckpoint(eager=True)
+    reps = reps.localCheckpoint(eager=True) if eager_stages else reps.persist()
 
     # -- stage: exact-duplicate star edges (J3) ------------------------------
     with stage_timer(metrics, "edges_exact") as t:
@@ -169,7 +182,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             candidate_pairs = candidate_pairs.unionByName(p)
         candidate_pairs = candidate_pairs.groupBy("a", "b").agg(
             F.min("source").alias("source"), F.max("score").alias("score"))
-        candidate_pairs = mat("candidate_pairs", candidate_pairs, t)
+        candidate_pairs = mat("candidate_pairs", candidate_pairs, t, shared=True)
 
     # -- stage: connected components (J4) -----------------------------------
     with stage_timer(metrics, "clusters") as t:
