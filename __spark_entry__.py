@@ -266,6 +266,14 @@ def q_json_props(spark, sf_dir):
             .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k")))
 
 
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline)."""
+    from wdd.operators.similarity import cosine_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return cosine_dup_pairs(emb, threshold=0.3)
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-style aggregation over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -338,6 +346,20 @@ def q_ann_lsh_topk(spark, sf_dir):
         "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
+def q_capture_diff(spark, sf_dir):
+    """The reference's end purpose: which captures of one URL differ, as
+    pairwise Hamming distances over its year's simhashes (SURVEY.md §3.3)."""
+    from wdd.operators.lookup import capture_diff_matrix
+    from wdd.pipeline import build_simhash_index
+    from wdd.sources.pages import synth_pages
+    from wdd.streaming.ingest import _signature_batch
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    sims = _signature_batch(pages)
+    idx = build_simhash_index(sims)
+    url = "http://hot.example/doc/0"
+    return capture_diff_matrix(idx, sims, url, "2019").limit(200)
+
+
 def q_simhash_index_year(spark, sf_dir):
     """S5-S7 serving layout: year-filtered simhash index rows for one URL
     (the reference's /simhash?url&year read, DataFrame form)."""
@@ -377,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "json_props": q_json_props,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         # rows-only (hash kernels; no SQL oracle possible)
@@ -384,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_minhash_pairs": q_lsh_minhash_pairs,
         "substring_pairs": q_substring_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "capture_diff": q_capture_diff,
         "simhash_index_year": q_simhash_index_year,
     }
 
@@ -610,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k
             FROM events GROUP BY 1
+        """,
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

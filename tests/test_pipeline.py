@@ -84,7 +84,9 @@ def test_no_rampant_false_merges(pipeline_result):
     has ~6% genuine near-dup base docs, so expect >= 90% distinct clusters
     among base pages."""
     pages, truth, res = pipeline_result
-    base = res.clusters.where(F.col("url").contains("/doc/"))
+    # one row per distinct base url (exact-dup captures share the url)
+    base = (res.clusters.where(F.col("url").contains("/doc/"))
+            .groupBy("url").agg(F.min("cluster_id").alias("cluster_id")))
     n_base = base.count()
     n_clusters = base.select("cluster_id").distinct().count()
     assert n_clusters >= 0.90 * n_base, (n_clusters, n_base)

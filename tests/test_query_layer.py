@@ -128,3 +128,17 @@ def test_paginate(spark):
     out = paginate(df, ["k"], page=3, per_page=10).collect()
     assert [r.k for r in out] == list(range(20, 30))
     assert [r.rn for r in out] == list(range(21, 31))
+
+
+def test_capture_diff_matrix(spark, sf_dir):
+    from wdd.operators.lookup import capture_diff_matrix
+    from wdd.pipeline import build_simhash_index
+    from wdd.sources.pages import synth_pages
+    from wdd.streaming.ingest import _signature_batch
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    sims = _signature_batch(pages)
+    idx = build_simhash_index(sims)
+    out = capture_diff_matrix(idx, sims, "http://hot.example/doc/0", "2019").collect()
+    # doc 0 is 7-divisible -> base + exact-dup capture of the same url
+    assert len(out) == 1
+    assert out[0].hamming == 0  # identical content -> identical simhash

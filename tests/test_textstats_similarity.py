@@ -125,3 +125,11 @@ def test_decode_stub_raises_without_fake():
     from wdd.operators.multimodal import decode_image
     with pytest.raises(NotImplementedError):
         decode_image(b"payload")
+
+
+def test_cosine_dup_pairs(spark, emb):
+    from wdd.operators.similarity import cosine_dup_pairs
+    from pyspark.sql import functions as F
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    out = cosine_dup_pairs(e.limit(100), threshold=0.3).collect()
+    assert all(r.vec_a < r.vec_b and r.cosine >= 0.3 for r in out)

@@ -139,6 +139,27 @@ def compress_captures_df(index: DataFrame) -> DataFrame:
     )
 
 
+def capture_diff_matrix(index: DataFrame, simhashes: DataFrame,
+                        url: str, year: str) -> DataFrame:
+    """The reference's end purpose — 'discover which captures differ': the
+    pairwise Hamming distances between one URL's captures in a year.
+    After surt_key+year pruning the capture set is tiny (<= ~1095 by the
+    reference's own collapse policy), so the pairwise self-join is bounded.
+
+    Output: (ts_a, ts_b, hamming) with ts_a < ts_b."""
+    key = surt(url)
+    caps = (index.where((F.col("surt_key") == key)
+                        & (F.substring("ts14", 1, 4) == str(year))
+                        & (F.length("ts14") == 14))
+            .select("ts14", "simhash64"))
+    a = caps.select(F.col("ts14").alias("ts_a"), F.col("simhash64").alias("_sa"))
+    b = caps.select(F.col("ts14").alias("ts_b"), F.col("simhash64").alias("_sb"))
+    return (a.join(b, F.col("ts_a") < F.col("ts_b"))
+            .select("ts_a", "ts_b",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    .cast("long").alias("hamming")))
+
+
 def sentinel_rows(spark, url: str, year) -> DataFrame:
     """S4: the no-captures sentinel (reference discover.py:263-269)."""
     return spark.createDataFrame(

@@ -62,6 +62,28 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select(qid_col, id_col, "cosine", "rank"))
 
 
+def cosine_dup_pairs(corpus: DataFrame, threshold: float,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= t.
+
+    Brute self-join form (the exact baseline; the LSH-bucketed form reuses
+    lsh_ann_topk's bucket join for the 100 TB path). Output:
+    (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                      _norm_col(vec_col).alias("_n"))
+    a = c.select(F.col(id_col).alias("vec_a"), F.col("_v").alias("_va"),
+                 F.col("_n").alias("_na"))
+    b = c.select(F.col(id_col).alias("vec_b"), F.col("_v").alias("_vb"),
+                 F.col("_n").alias("_nb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine",
+                        (dot_col("_va", "_vb")
+                         / (F.col("_na") * F.col("_nb"))).cast("double"))
+            .where(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")))
+
+
 def _hyperplanes(dim: int, bits: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(_ANN_SEED))
     return rng.standard_normal((dim, bits)).astype(np.float64)

@@ -78,9 +78,11 @@ def synth_pages(spark: SparkSession, sf_dir: str,
 
     base = _page_rows(docs, "/doc/", "doc_id", "text", F.lit(0), "base")
 
-    # exact duplicate: identical html, different url + later capture time
+    # exact duplicate: identical html under the SAME url, one day later —
+    # the reference's model of an unchanged page captured again (its Redis
+    # hash keys multiple timestamps under one surt(url), discover.py:233-235)
     exact_src = docs.where(F.col("doc_id") % 7 == 0)
-    exact = _page_rows(exact_src, "/copy/", "doc_id", "text",
+    exact = _page_rows(exact_src, "/doc/", "doc_id", "text",
                        F.lit(86400), "exact")
 
     # simhash-near: one appended rare token — few feature bits flip at f=64
