@@ -80,7 +80,7 @@ def hardware_ceiling() -> dict:
 def run_leg(cpus: int, replicas: int, zpath: Path) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
-               WDD_DRIVER_MEM="16g",
+               WDD_DRIVER_MEM="24g",
                WDD_BENCH_REPLICAS=str(replicas))
     env.pop("WDD_EXECUTORS", None)
     out = subprocess.run(
