@@ -90,6 +90,11 @@ def main():
             # scale the shuffle width with the core count so neither leg of
             # the N-vs-4N scaling measurement is partition-starved
             "spark.sql.shuffle.partitions": str(max(32, 2 * total_cores)),
+            # text payloads compress ~5x in shuffle files: the default 64m
+            # advisory target makes AQE coalesce into partitions whose
+            # DEserialized sort footprint OOMs small-heap legs — keep
+            # post-shuffle partitions fine-grained and spill-friendly
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         })
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -82,7 +82,11 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # dropDuplicates shuffle to 1 partition on small inputs, which would
     # serialize the Arrow/Python work onto one core. Explicitly spread the
     # per-digest rows across the executor slots (cheap: rows are small).
-    udf_parallelism = spark.sparkContext.defaultParallelism
+    # floor of 32: at tiny core counts defaultParallelism alone would put
+    # hundreds of MB of rows in one partition feeding Arrow (observed task
+    # OOM at local[2] on a 450k-page corpus); more, smaller partitions cost
+    # nothing and bound per-task memory.
+    udf_parallelism = max(spark.sparkContext.defaultParallelism, 32)
 
     # -- stage: per-digest signatures (the UDF hot path, A6 rewrite).
     # Extraction is materialized BEFORE the hash UDFs: referencing two fields

@@ -34,12 +34,21 @@ def get_spark(app_name: str = "wdd", cpus: int | None = None,
     else:
         master = f"local[{cpus}]"
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # shuffle/spill scratch on tmpfs: this sandbox has ONE virtio disk, so
+    # shuffle I/O would serialize across cores and poison any scaling
+    # measurement (real clusters scale disks with nodes). 125 GiB RAM.
+    local_dir = os.environ.get("WDD_LOCAL_DIR", "/dev/shm/wdd-spark")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         # executor python workers must import wdd (same host, shared FS);
         # cluster deployments ship dist/wdd.zip via spark-submit --py-files
         .config("spark.executorEnv.PYTHONPATH", repo_root)
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
