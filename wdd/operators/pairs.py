@@ -88,6 +88,10 @@ def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
     the key set always broadcasts. (A count window over the exploded table
     would add a full sort-exchange to every candidate stage.)
     """
+    # the exploded table feeds BOTH the sizing pass and the pair pass —
+    # materialize it once instead of recomputing the explode+hash lineage
+    # per consumer (measured ~2x on the LSH stage)
+    df = df.localCheckpoint(eager=True)
     sizes = (df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gsz"))
              .where(F.col("_gsz") > huge_group_rows)
              .localCheckpoint(eager=True))
