@@ -89,9 +89,11 @@ def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
     would add a full sort-exchange to every candidate stage.)
     """
     # the exploded table feeds BOTH the sizing pass and the pair pass —
-    # materialize it once instead of recomputing the explode+hash lineage
-    # per consumer (measured ~2x on the LSH stage)
-    df = df.localCheckpoint(eager=True)
+    # cache it instead of recomputing the explode+hash lineage per consumer
+    # (measured ~2x on the LSH stage). persist(), not localCheckpoint: the
+    # cache must stay EVICTABLE — pinning 30M-row exploded tables in the
+    # block manager OOMed an 8-core 24g leg.
+    df = df.persist()
     sizes = (df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gsz"))
              .where(F.col("_gsz") > huge_group_rows)
              .localCheckpoint(eager=True))
