@@ -286,6 +286,78 @@ def q_pricing_summary(spark, sf_dir):
                  F.count("*").alias("count_order")))
 
 
+def q_url_canonical(spark, sf_dir):
+    """F1-F3 (reference util.py:103-114, discover.py:191, discover.py:233):
+    url_fix percent-encoding + validity filter + SURT key derivation over
+    deterministically synthesized URLs (5 shape variants: uppercase host/www,
+    non-default port + unsorted query, schemeless with spaces, default-port
+    drop, email-shaped invalid). The DuckDB oracle states the expected
+    canonical forms in closed form, so this value-checks the real pandas
+    UDFs end-to-end."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    v = F.col("doc_id") % 5
+    m7 = (F.col("doc_id") % 7).cast("string")
+    m10 = (F.col("doc_id") % 10).cast("string")
+    m97 = (F.col("doc_id") % 97).cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://WWW."), F.col("source"), m7,
+                                F.lit(".COM/Path "), m10))
+        .when(v == 1, F.concat(F.lit("https://sub.domain"), m7,
+                               F.lit(".org:8443/a/b?B=2&a=1")))
+        .when(v == 2, F.concat(F.col("source"), m97, F.lit(".net/x y/z")))
+        .when(v == 3, F.lit("http://example.com:80/"))
+        .otherwise(F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))))
+    fixed = udfs.url_fix_udf(url)
+    return (d.select(
+        "doc_id",
+        fixed.alias("url_fixed"),
+        udfs.surt_key_udf(fixed).alias("surt_key"),
+        udfs.url_is_valid_udf(url).alias("valid")))
+
+
+def _media(spark, sf_dir):
+    """Multimodal table synthesized from documents: opaque binary payload +
+    typed metadata (SURVEY brief: image/audio/video as binary columns)."""
+    d = _docs(spark, sf_dir)
+    kind = (F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("video"))
+            .otherwise(F.lit("audio")))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(8).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col("doc_id") % 50).cast("int").alias("n_frames"))
+
+
+def q_multimodal_image_features(spark, sf_dir):
+    """Multimodal decode->resize->feature plumbing via mapInPandas (decode
+    kernel is a deterministic fake — real codecs absent in this container;
+    wdd/operators/multimodal.py documents the stub boundary). The oracle
+    checks row fan-in (image rows only), metadata passthrough, feature
+    dimensionality, and decode_ok."""
+    from wdd.operators.multimodal import image_features
+    feats = image_features(_media(spark, sf_dir), deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.size("feature").cast("long").alias("feature_dim"),
+        "decode_ok")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling: mapInPandas fan-out of one row per sampled frame
+    index (every 10th of n_frames). Oracle = generate_series per video row."""
+    from wdd.operators.multimodal import sample_frames
+    return (sample_frames(_media(spark, sf_dir), every_n=10)
+            .select("media_id",
+                    F.col("frame_idx").cast("long").alias("frame_idx")))
+
+
 def q_top_customers(spark, sf_dir):
     """Broadcast-joined top-10 customers by order revenue."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -402,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "url_canonical": q_url_canonical,
+        "multimodal_image_features": q_multimodal_image_features,
+        "frame_sample": q_frame_sample,
         # rows-only (hash kernels; no SQL oracle possible)
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
         "lsh_minhash_pairs": q_lsh_minhash_pairs,
@@ -660,5 +735,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 10
+        """,
+        "url_canonical": """
+            WITH d AS (
+              SELECT doc_id, source, doc_id % 5 AS v,
+                     (doc_id % 7)::VARCHAR AS m7,
+                     (doc_id % 10)::VARCHAR AS m10,
+                     (doc_id % 97)::VARCHAR AS m97
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE v
+                WHEN 0 THEN 'http://WWW.' || source || m7 || '.COM/Path%20' || m10
+                WHEN 1 THEN 'https://sub.domain' || m7 || '.org:8443/a/b?B=2&a=1'
+                WHEN 2 THEN source || m97 || '.net/x%20y/z'
+                WHEN 3 THEN 'http://example.com:80/'
+                ELSE 'user' || doc_id::VARCHAR || '@example.com'
+              END AS url_fixed,
+              CASE v
+                WHEN 0 THEN 'com,' || source || m7 || ')/path%20' || m10
+                WHEN 1 THEN 'org,domain' || m7 || ',sub:8443)/a/b?a=1&b=2'
+                WHEN 2 THEN 'net,' || source || m97 || ')/x%20y/z'
+                WHEN 3 THEN 'com,example)/'
+                ELSE 'com,example)/'
+              END AS surt_key,
+              v <> 4 AS valid
+            FROM d
+        """,
+        "multimodal_image_features": """
+            SELECT doc_id AS media_id, 8::BIGINT AS width, 8::BIGINT AS height,
+                   16::BIGINT AS feature_dim, true AS decode_ok
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, (doc_id % 50)::BIGINT, 10)) AS frame_idx
+            FROM documents WHERE doc_id % 3 = 1
         """,
     }
