@@ -358,6 +358,19 @@ def q_frame_sample(spark, sf_dir):
                     F.col("frame_idx").cast("long").alias("frame_idx")))
 
 
+def q_audio_chunks(spark, sf_dir):
+    """Audio chunking: metadata-driven mapInPandas fan-out — one row per
+    250 ms chunk at the row's sample_rate (16 kHz -> 4000-sample chunks over
+    a PCM8 byte-length surrogate; decode stubbed, boundaries real). Oracle =
+    range() per audio row over octet_length(payload)."""
+    from wdd.operators.multimodal import audio_chunks
+    return (audio_chunks(_media(spark, sf_dir), chunk_ms=250)
+            .select("media_id",
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.col("start_sample").cast("long").alias("start_sample"),
+                    F.col("n_samples").cast("long").alias("n_samples")))
+
+
 def q_top_customers(spark, sf_dir):
     """Broadcast-joined top-10 customers by order revenue."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -477,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "multimodal_image_features": q_multimodal_image_features,
         "frame_sample": q_frame_sample,
+        "audio_chunks": q_audio_chunks,
         # rows-only (hash kernels; no SQL oracle possible)
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
         "lsh_minhash_pairs": q_lsh_minhash_pairs,
@@ -771,5 +785,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    unnest(range(0, (doc_id % 50)::BIGINT, 10)) AS frame_idx
             FROM documents WHERE doc_id % 3 = 1
+        """,
+        "audio_chunks": """
+            SELECT media_id, (s // 4000)::BIGINT AS chunk_idx,
+                   s::BIGINT AS start_sample,
+                   least(4000, n - s)::BIGINT AS n_samples
+            FROM (
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text))::BIGINT AS n,
+                     unnest(range(0, octet_length(encode(text))::BIGINT,
+                                  4000)) AS s
+              FROM documents WHERE doc_id % 3 = 2
+            )
         """,
     }

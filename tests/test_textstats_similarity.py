@@ -121,6 +121,32 @@ def test_multimodal_image_features_and_frames(spark):
         [(3, 0), (3, 10), (3, 20)]
 
 
+def test_audio_chunks(spark):
+    from wdd.operators.multimodal import audio_chunks
+    rows = [
+        # 10-byte payload at 16kHz, 250ms chunks -> step 4000 -> 1 chunk
+        (4, "audio", bytearray(b"audpayload"), 0, 0, 16000, 0),
+        # 9-byte payload at 8Hz -> step 2 -> 5 chunks, last is 1 sample
+        (5, "audio", bytearray(b"ninebytes"), 0, 0, 8, 0),
+        (1, "image", bytearray(b"imgpayload-1"), 8, 8, 0, 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, "
+              "height int, sample_rate int, n_frames int")
+    chunks = sorted(audio_chunks(media, chunk_ms=250).collect(),
+                    key=lambda r: (r.media_id, r.chunk_idx))
+    got = [(r.media_id, r.chunk_idx, r.start_sample, r.n_samples)
+           for r in chunks]
+    assert got == [(4, 0, 0, 10),
+                   (5, 0, 0, 2), (5, 1, 2, 2), (5, 2, 4, 2),
+                   (5, 3, 6, 2), (5, 4, 8, 1)]
+    # chunk hashes are deterministic and per-slice distinct
+    shas = [r.chunk_sha1 for r in chunks if r.media_id == 5]
+    assert len(set(shas)) == 5  # all five slices distinct
+    import hashlib
+    assert chunks[0].chunk_sha1 == hashlib.sha1(b"audpayload").hexdigest()
+
+
 def test_decode_stub_raises_without_fake():
     from wdd.operators.multimodal import decode_image
     with pytest.raises(NotImplementedError):

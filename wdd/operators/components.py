@@ -67,7 +67,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                       F.col("b").cast("long").alias("b"))
          .where(F.col("a") != F.col("b"))
          .dropDuplicates(["a", "b"])
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))  # materialized by the first _signature
 
     def _signature(edges_df) -> tuple:
         """Order-insensitive edge-set fingerprint in ONE cheap aggregate
@@ -85,7 +85,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
     iterations, converged = 0, False
     prev_sig = _signature(e)
     for iterations in range(1, max_iter + 1):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # eager=False: the signature aggregate below is the action that
+        # materializes the checkpoint — one Spark job per round instead of
+        # two (each round is driver-synchronized, so saved jobs are saved
+        # serial time; measured ~0.2s/round on an idle scheduler)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = _signature(e2)
         e = e2
         if sig == prev_sig:

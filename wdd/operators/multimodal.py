@@ -29,6 +29,9 @@ IMAGE_FEATURES_SCHEMA = ("media_id long, width int, height int, "
 
 FRAME_SAMPLE_SCHEMA = ("media_id long, frame_idx int, frame_sha1 string")
 
+AUDIO_CHUNK_SCHEMA = ("media_id long, chunk_idx int, start_sample long, "
+                      "n_samples int, chunk_sha1 string")
+
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
     """STUB: decode an image payload to an HxWx3 array.
@@ -104,3 +107,41 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     return (media.where(F.col("kind") == "video")
             .mapInPandas(_sample, FRAME_SAMPLE_SCHEMA))
+
+
+def audio_chunks(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
+    """Fixed-duration audio chunking for audio rows via mapInPandas.
+
+    The waveform decode is stubbed (no audio codec in this container): the
+    payload byte length stands in for the sample count (1 byte/sample PCM8
+    surrogate), so chunk boundaries — the real Spark-side plumbing under
+    test — are a pure function of (octet_length(payload), sample_rate,
+    chunk_ms) and fully oracle-checkable. chunk_sha1 hashes the chunk's
+    payload slice, standing in for per-chunk feature extraction.
+
+    Completes the image/audio/video triad next to `image_features` (fan-in)
+    and `sample_frames` (frame fan-out): this is metadata-driven fan-out
+    where the output row count per input depends on typed metadata
+    (sample_rate), not a constant.
+    """
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                                    ("media_id", "chunk_idx", "start_sample",
+                                     "n_samples", "chunk_sha1")}
+            for mid, payload, rate in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["sample_rate"]):
+                buf = bytes(payload)
+                n_samples = len(buf)
+                step = max(1, int(rate or 0) * chunk_ms // 1000)
+                for ci, start in enumerate(range(0, n_samples, step)):
+                    piece = buf[start:start + step]
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(ci)
+                    out["start_sample"].append(start)
+                    out["n_samples"].append(len(piece))
+                    out["chunk_sha1"].append(hashlib.sha1(piece).hexdigest())
+            yield pd.DataFrame(out)
+
+    return (media.where(F.col("kind") == "audio")
+            .mapInPandas(_chunk, AUDIO_CHUNK_SCHEMA))
