@@ -119,18 +119,28 @@ def main():
     zpath = build_zip()
     hw = hardware_ceiling()
     print(f"hardware ceilings (efficiency on this span): {hw}")
-    best = {}
-    for cpus in (N_CORES, N4_CORES):
-        runs = []
-        for i in range(repeats):
+    # INTERLEAVE the legs (N, 4N, N, 4N, ...): this host's noisy neighbors
+    # drift on a minutes scale (identical runs measured 2x apart hours
+    # apart, 1.4x apart within one hour), so running all N legs then all 4N
+    # legs lets a drift in either window bias the ratio. Adjacent pairs see
+    # ~the same ambient load; best-of-k per leg still rejects spikes.
+    runs: dict[int, list] = {N_CORES: [], N4_CORES: []}
+    for i in range(repeats):
+        for cpus in (N_CORES, N4_CORES):
             r = run_leg(cpus, replicas, zpath)
-            runs.append(r)
+            runs[cpus].append(r)
             print(f"local[{cpus}] run{i}: wall={r['value']}s "
-                  f"pps={r['pages_per_sec']} recall={r['dup_pair_recall']}")
-        best[cpus] = max(runs, key=lambda r: r["pages_per_sec"])
+                  f"pps={r['pages_per_sec']} recall={r['dup_pair_recall']}",
+                  flush=True)
+    best = {c: max(rs, key=lambda r: r["pages_per_sec"])
+            for c, rs in runs.items()}
     thr_n = best[N_CORES]["pages_per_sec"]
     thr_4n = best[N4_CORES]["pages_per_sec"]
     eff = (thr_4n / thr_n) / (N4_CORES / N_CORES)
+    # drift diagnostic: efficiency of each adjacent (N, 4N) pair
+    pair_effs = [round((b["pages_per_sec"] / a["pages_per_sec"]) /
+                       (N4_CORES / N_CORES), 3)
+                 for a, b in zip(runs[N_CORES], runs[N4_CORES])]
     result = {
         "topology": f"spark-submit --py-files dist/wdd.zip, local[{N_CORES}] "
                     f"vs local[{N4_CORES}], same input, best of {repeats}",
@@ -141,6 +151,7 @@ def main():
         "throughput_pages_per_sec": {f"{N_CORES}_cores": thr_n,
                                      f"{N4_CORES}_cores": thr_4n},
         "scaling_efficiency_N_to_4N": round(eff, 3),
+        "interleaved_pair_efficiencies": pair_effs,
         "hardware_ceilings": hw,
         # shuffle/sort work is bandwidth-shaped; the blended attainable
         # ceiling for this mixed pipeline lies between the two

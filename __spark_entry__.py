@@ -258,6 +258,16 @@ def q_fingerprint(spark, sf_dir):
         "doc_id", "fingerprint")
 
 
+def q_bottomk_sketch(spark, sf_dir):
+    """Bottom-k n-gram sketch (k=8 smallest distinct md5 8-grams per doc):
+    a mergeable, fully-relational near-dup fingerprint — zero UDFs, two
+    salted hash-aggregate levels (wdd/operators/textstats.py). Oracle =
+    the same order statistic via a window in DuckDB."""
+    from wdd.operators.textstats import ngram_bottomk_sketch
+    return ngram_bottomk_sketch(_docs(spark, sf_dir).select("doc_id", "text"),
+                                n=8, k=8)
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: sum of props.k per event_type."""
     ev = _events(spark, sf_dir)
@@ -483,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "bottomk_sketch": q_bottomk_sketch,
         "json_props": q_json_props,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "pricing_summary": q_pricing_summary,
@@ -718,6 +729,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "bottomk_sketch": """
+            WITH g AS (
+              SELECT DISTINCT doc_id,
+                     md5(substr(text, i, 8)) AS gram_md5
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 8 + 2, 1))) AS t(i)
+              WHERE length(text) >= 8
+            )
+            SELECT doc_id, rank, gram_md5 FROM (
+              SELECT doc_id, gram_md5,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY gram_md5) AS rank
+              FROM g
+            ) WHERE rank <= 8
         """,
         "json_props": """
             SELECT event_type, count(*) AS n,

@@ -121,6 +121,27 @@ def test_multimodal_image_features_and_frames(spark):
         [(3, 0), (3, 10), (3, 20)]
 
 
+def test_ngram_bottomk_sketch(spark):
+    from wdd.operators.textstats import ngram_bottomk_sketch
+    import hashlib
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "short"), (3, None)],
+                               "doc_id long, text string")
+    rows = ngram_bottomk_sketch(df, n=8, k=2).collect()
+    # doc 1 has 3 grams; expect the 2 lexicographically-smallest md5s, ranked
+    grams = ["abcdefgh", "bcdefghi", "cdefghij"]
+    hs = sorted(hashlib.md5(g.encode()).hexdigest() for g in grams)[:2]
+    got = sorted((r.doc_id, r.rank, r.gram_md5) for r in rows)
+    assert got == [(1, 1, hs[0]), (1, 2, hs[1])]
+
+    # salted two-level merge is value-identical to a single-level aggregate
+    long_df = spark.createDataFrame(
+        [(i, f"document number {i} " * 20) for i in range(10)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, ngram_bottomk_sketch(long_df, merge_salts=1).collect()))
+    b = sorted(map(tuple, ngram_bottomk_sketch(long_df, merge_salts=16).collect()))
+    assert a == b and len(a) == 10 * 8
+
+
 def test_audio_chunks(spark):
     from wdd.operators.multimodal import audio_chunks
     rows = [

@@ -112,6 +112,45 @@ def with_md5_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+def ngram_bottomk_sketch(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 8, k: int = 8,
+                         merge_salts: int = 16) -> DataFrame:
+    """Bottom-k sketch over character n-grams — zero UDFs, pure Catalyst.
+
+    Each document's k lexicographically-smallest distinct md5(n-gram) values.
+    Bottom-k sketches are mergeable order statistics: bottom-k of a union is
+    the bottom-k of the per-part bottom-k's, so the aggregation runs in two
+    salted levels and NO single reducer ever collects a whole document's
+    gram set (a 1 MB page has ~10^6 grams; level 1 bounds each collect_set
+    to ~|grams|/merge_salts, level 2 to merge_salts*k rows). Both levels are
+    hash aggregates with map-side partial combine.
+
+    Output: (id_col, rank, gram_md5), rank 1..k ascending — an unbiased
+    Jaccard estimator between documents (|bottomk(A) ∩ bottomk(B) ∩
+    bottomk(A∪B)| / k) and a winnowing-grade near-dup fingerprint that is
+    fully SQL-expressible, hence DuckDB-oracle-checkable end to end.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN length({text_col}) >= {n} THEN "
+            f"  transform(sequence(1, length({text_col}) - {n} + 1), "
+            f"            i -> substring({text_col}, i, {n})) "
+            f"ELSE cast(array() AS array<string>) END")).alias("gram"),
+    ).select(id_col, F.md5("gram").alias("gram_md5"))
+    lvl1 = (grams
+            .groupBy(id_col, F.pmod(F.xxhash64("gram_md5"),
+                                    F.lit(merge_salts)).alias("_salt"))
+            .agg(F.slice(F.array_sort(F.collect_set("gram_md5")),
+                         1, k).alias("_part")))
+    lvl2 = (lvl1.groupBy(id_col)
+            .agg(F.slice(F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("_part")))), 1, k).alias("_sketch")))
+    return (lvl2.select(id_col, F.posexplode("_sketch").alias("_pos", "gram_md5"))
+            .select(id_col, (F.col("_pos") + 1).cast("long").alias("rank"),
+                    "gram_md5"))
+
+
 def _make_winnow_udf(L: int, q: int, k: int):
     from wdd.operators.substring import rolling_anchor_hashes
 

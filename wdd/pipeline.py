@@ -118,21 +118,29 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             )
         sigs = mat("signatures", sigs, t, shared=True)
 
-    # -- stage: page-level simhashes table (join back on digest). The
-    # signatures side carries 128-int arrays — at scale it must NEVER be
-    # broadcast (AQE under-threshold misestimates have been observed to OOM
-    # the driver building a 400MB broadcast); pin a shuffle join explicitly.
+    # -- stage: page-level simhashes table (join back on digest). Only the
+    # 8-byte simhash64 rides the page-level shuffle: the 128-int minhash
+    # signature (~512 B/row) never leaves the per-digest sigs table — at
+    # boilerplate-heavy duplication ratios this cuts the join-back shuffle
+    # volume ~60x, the pipeline's largest byte mover at 100 TB. The
+    # signatures side must also NEVER be broadcast (AQE under-threshold
+    # misestimates have been observed to OOM the driver building a 400MB
+    # broadcast); pin a shuffle join explicitly.
     with stage_timer(metrics, "simhashes") as t:
         simhashes = prepped.select("url", "warc_ts", "digest", "page_id").join(
-            sigs.select("digest", "simhash64", "signature").hint("shuffle_hash"),
+            sigs.select("digest", "simhash64").hint("shuffle_hash"),
             "digest")
         simhashes = mat("simhashes", simhashes, t, shared=True)
 
-    # digest representative page (min page_id) — candidate graph runs on reps
-    reps = (simhashes.groupBy("digest")
-            .agg(F.min("page_id").alias("rep"),
-                 F.first("simhash64").alias("simhash64"),
-                 F.first("signature").alias("signature")))
+    # digest representative page (min page_id) — candidate graph runs on
+    # reps. The rep id comes from a NARROW (digest, page_id) aggregate over
+    # prepped pages (16 B/row shuffle), then ONE per-digest join attaches
+    # simhash64 + signature; the old formulation re-shuffled page-level rows
+    # carrying the signature array through groupBy(digest).
+    rep_ids = prepped.groupBy("digest").agg(F.min("page_id").alias("rep"))
+    reps = rep_ids.join(
+        sigs.select("digest", "simhash64", "signature").hint("shuffle_hash"),
+        "digest")
     reps = reps.localCheckpoint(eager=True) if eager_stages else reps.persist()
 
     # -- stage: exact-duplicate star edges (J3) ------------------------------
