@@ -92,25 +92,36 @@ def hardware_ceiling() -> dict:
     return out
 
 
-def run_leg(cpus: int, replicas: int, zpath: Path) -> dict:
+def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
-               WDD_DRIVER_MEM="24g",
+               # single JVM at a time on a 125 GiB box; a roomy heap keeps a
+               # noisy-window eviction storm from tipping a leg into Spark's
+               # OOM exit (code 52, observed once on an 8-core leg at x64)
+               WDD_DRIVER_MEM="40g",
                WDD_BENCH_REPLICAS=str(replicas))
     env.pop("WDD_EXECUTORS", None)
     # CPU-pin each leg: local[N] limits task slots only — GC/netty/python
     # workers would otherwise spill onto the other 30 cores and flatter the
     # small leg. taskset models a true N-core node.
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}",
-         SPARK_SUBMIT, "--py-files", str(zpath), str(ROOT / "bench.py")],
-        env=env, capture_output=True, text=True, timeout=2400, check=True,
-        cwd=str(ROOT))
-    for line in reversed(out.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON line in bench output:\n{out.stdout[-2000:]}"
-                       f"\n{out.stderr[-2000:]}")
+    last = None
+    for attempt in range(attempts):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}",
+             SPARK_SUBMIT, "--py-files", str(zpath), str(ROOT / "bench.py")],
+            env=env, capture_output=True, text=True, timeout=2400,
+            cwd=str(ROOT))
+        if out.returncode == 0:
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+        last = out
+        print(f"leg local[{cpus}] attempt {attempt} failed "
+              f"(rc={out.returncode}); stderr tail:\n"
+              + "\n".join(out.stderr.strip().splitlines()[-5:]), flush=True)
+    raise RuntimeError(
+        f"leg local[{cpus}] failed {attempts}x; last stdout tail:\n"
+        f"{last.stdout[-2000:]}\n{last.stderr[-2000:]}")
 
 
 def main():

@@ -70,6 +70,24 @@ def test_cc_cliques_and_isolated(spark):
     _check(spark, edges, vertices)
 
 
+def test_hash_min_parity(spark):
+    """The plain hash-min reference implementation labels identically to the
+    star-contraction default (and to brute force) on a mixed graph."""
+    from wdd.operators.components import hash_min_components
+    rng = random.Random(23)
+    vertices = list(range(120))
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e_df = spark.createDataFrame(edges, ["a", "b"])
+    v_df = spark.createDataFrame([(v,) for v in vertices], ["id"])
+    star = connected_components(e_df, v_df)
+    hmin = hash_min_components(e_df, v_df)
+    assert star.converged and hmin.converged
+    got_star = {r.id: r.cluster_id for r in star.labels.collect()}
+    got_hmin = {r.id: r.cluster_id for r in hmin.labels.collect()}
+    assert got_star == got_hmin == _brute_cc(edges, vertices)
+
+
 def test_cc_two_stars_bridged(spark):
     edges = [(0, i) for i in range(1, 20)] + [(50, 50 + i) for i in range(1, 20)]
     edges.append((19, 69))
