@@ -1,0 +1,43 @@
+"""Storage layer (SURVEY.md §7.6): bucketed write layout + bucket-pruned
+point lookups on the parquet fallback (the Iceberg path is config-switched,
+not forked — `iceberg_available` gates it and is False in this sandbox)."""
+from pyspark.sql import functions as F
+
+from wdd.config import DEFAULT
+from wdd.sources.catalog import CatalogWriter, iceberg_available
+
+
+def test_iceberg_absent_here(spark):
+    assert iceberg_available(spark) is False
+
+
+def test_bucketed_roundtrip_and_pruned_lookup(spark, tmp_path):
+    urls = [f"http://example{i}.com/p{j}" for i in range(20) for j in range(3)]
+    df = spark.createDataFrame([(u, i) for i, u in enumerate(urls)],
+                               "url string, payload int")
+    cat = CatalogWriter(spark, str(tmp_path / "wh"))
+    cat.write_bucketed(df, "simhashes")
+
+    back = cat.read("simhashes")
+    assert back.count() == len(urls)
+    # layout: one directory per bucket, same transform as the reader
+    assert {r.bucket for r in back.select("bucket").distinct().collect()} \
+        <= set(range(DEFAULT.url_buckets))
+
+    target = urls[7]
+    pruned = cat.read_bucket_pruned("simhashes", target)
+    rows = pruned.where(F.col("url") == target).collect()
+    assert [r.url for r in rows] == [target]
+
+    # partition pruning is real: the bucket predicate appears as a partition
+    # filter in the physical scan (not a post-scan row filter), and the
+    # target row lives in exactly the bucket directory the reader computes
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters:")[1].split("]")[0]
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(target)), F.lit(DEFAULT.url_buckets))
+    ).collect()[0][0]
+    one_dir = spark.read.parquet(str(tmp_path / "wh" / "simhashes"
+                                     / f"bucket={b}"))
+    assert one_dir.where(F.col("url") == target).count() == 1

@@ -38,14 +38,19 @@ def lsh_candidates(minhashes: DataFrame, id_col: str = "page_id",
                    sig_col: str = "signature",
                    cfg: WddConfig = DEFAULT) -> DataFrame:
     """Candidate pairs (a, b, source='lsh') from LSH banding."""
+    # single 64-bit group key: the band index is already salted INTO the
+    # hash (band_keys_col), so a separate band column would only repeat it —
+    # dropping it cuts the exploded table (the stage's shuffle payload) from
+    # (id, band, key) to (id, key). A cross-band 64-bit collision merely
+    # yields a junk candidate that Jaccard verification discards.
     exploded = (
         minhashes
-        .select(id_col, F.posexplode(
+        .select(id_col, F.explode(
             band_keys_col(sig_col, cfg.lsh_bands, cfg.lsh_rows)
-        ).alias("band", "band_key"))
+        ).alias("band_key"))
     )
     pairs = pairs_from_groups_scalable(
-        exploded, ["band", "band_key"], id_col,
+        exploded, ["band_key"], id_col,
         cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
         source="lsh")
     return dedup_pairs(pairs)

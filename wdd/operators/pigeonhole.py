@@ -24,10 +24,15 @@ from wdd.operators.pairs import dedup_pairs, pairs_from_groups_scalable
 
 
 def block_keys_col(sim_col: str, n_blocks: int, bits: int):
+    """One long key per block: (block_value * n_blocks + block_index), so a
+    single column both identifies the block and carries its value — the
+    exploded table shuffles (id, key) instead of (id, block, value), and
+    equal values in DIFFERENT blocks still land in different groups."""
     width = bits // n_blocks
     mask = (1 << width) - 1
     return F.array(*[
-        F.expr(f"shiftrightunsigned({sim_col}, {i * width}) & {mask}")
+        F.expr(f"(shiftrightunsigned({sim_col}, {i * width}) & {mask}) "
+               f"* {n_blocks} + {i}")
         for i in range(n_blocks)
     ])
 
@@ -42,11 +47,11 @@ def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
     distinct = simhashes.select(F.col(id_col).alias("sim")).dropDuplicates(["sim"])
     exploded = distinct.select(
         "sim",
-        F.posexplode(block_keys_col("sim", cfg.n_blocks, cfg.simhash_size))
-        .alias("block", "block_val"),
+        F.explode(block_keys_col("sim", cfg.n_blocks, cfg.simhash_size))
+        .alias("block_key"),
     )
     pairs = pairs_from_groups_scalable(
-        exploded, ["block", "block_val"], "sim",
+        exploded, ["block_key"], "sim",
         cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
         source="pigeonhole")
     verified = pairs.where(
