@@ -258,6 +258,31 @@ def q_fingerprint(spark, sf_dir):
         "doc_id", "fingerprint")
 
 
+def q_compress_index(spark, sf_dir):
+    """A4+A5 bulk compress: per-key first-seen dictionary encoding of values
+    plus y/m/d nesting (wdd/operators/lookup.py compress_captures_df),
+    exercised over an events-derived index so it is fully SQL-oracle-able.
+    Output flattened one row per capture with its position in the nested
+    day list."""
+    from wdd.operators.lookup import compress_captures_df
+    ev = _events(spark, sf_dir)
+    index = ev.select(
+        F.col("user_id").cast("string").alias("surt_key"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts14"),
+        F.col("event_type").alias("simhash_b64"))
+    nested = compress_captures_df(index)
+    return (nested.select(
+        "surt_key", "year", "month", "day",
+        F.posexplode("captures").alias("pos", "c"))
+        .select("surt_key",
+                F.col("year").cast("long").alias("y"),
+                F.col("month").cast("long").alias("m"),
+                F.col("day").cast("long").alias("d"),
+                (F.col("pos") + 1).cast("long").alias("seq"),
+                F.col("c.hms").alias("hms"),
+                F.col("c.hash_id").cast("long").alias("hash_id")))
+
+
 def q_bottomk_sketch(spark, sf_dir):
     """Bottom-k n-gram sketch (k=8 smallest distinct md5 8-grams per doc):
     a mergeable, fully-relational near-dup fingerprint — zero UDFs, two
@@ -494,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "bottomk_sketch": q_bottomk_sketch,
+        "compress_index": q_compress_index,
         "json_props": q_json_props,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "pricing_summary": q_pricing_summary,
@@ -729,6 +755,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "compress_index": """
+            WITH idx AS (
+              SELECT user_id::VARCHAR AS surt_key,
+                     strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+                     event_type AS val
+              FROM events
+            ),
+            first_seen AS (
+              SELECT surt_key, val,
+                     (row_number() OVER (PARTITION BY surt_key
+                                         ORDER BY min(ts14), val) - 1) AS hash_id
+              FROM idx GROUP BY surt_key, val
+            ),
+            rows_ AS (
+              SELECT i.surt_key,
+                     substr(ts14, 1, 4)::BIGINT AS y,
+                     substr(ts14, 5, 2)::BIGINT AS m,
+                     substr(ts14, 7, 2)::BIGINT AS d,
+                     substr(ts14, 9, 6) AS hms,
+                     f.hash_id::BIGINT AS hash_id
+              FROM idx i
+              JOIN first_seen f ON i.surt_key = f.surt_key AND i.val = f.val
+            )
+            SELECT surt_key, y, m, d,
+                   row_number() OVER (PARTITION BY surt_key, y, m, d
+                                      ORDER BY hms, hash_id)::BIGINT AS seq,
+                   hms, hash_id
+            FROM rows_
         """,
         "bottomk_sketch": """
             WITH g AS (

@@ -122,9 +122,12 @@ def compress_captures_df(index: DataFrame) -> DataFrame:
     first_seen = (
         index.groupBy("surt_key", "simhash_b64")
         .agg(F.min("ts14").alias("first_ts"))
+        # tie-break on the hash value itself: two hashes first seen at the
+        # same ts14 would otherwise get nondeterministic ids
         .withColumn("hash_id",
                     F.row_number().over(
-                        Window.partitionBy("surt_key").orderBy("first_ts")) - 1)
+                        Window.partitionBy("surt_key")
+                        .orderBy("first_ts", "simhash_b64")) - 1)
         .select("surt_key", "simhash_b64", "hash_id")
     )
     return (
