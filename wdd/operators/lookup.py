@@ -56,7 +56,14 @@ def year_simhash(index: DataFrame, url: str, year, page: int | None = None,
     if not url or not year:
         return NOT_CAPTURED
     key = surt(url)
-    rows = (index.where(F.col("surt_key") == key)
+    # the year-prefix predicate is pushed into the scan (min/max skipping on
+    # the sorted ts14 column) instead of collecting every ts under the key
+    # and filtering driver-side; the bare-year sentinel row shares the
+    # prefix, so sentinel detection still sees it. A key with rows only in
+    # OTHER years collects nothing and returns NOT_CAPTURED — same outcome
+    # the reference's full-scan-then-filter produces (util.py:49-70).
+    rows = (index.where((F.col("surt_key") == key)
+                        & F.col("ts14").startswith(str(year)))
             .select("ts14", "simhash_b64")
             .orderBy("ts14")
             .collect())

@@ -43,6 +43,13 @@ def lsh_candidates(minhashes: DataFrame, id_col: str = "page_id",
     # dropping it cuts the exploded table (the stage's shuffle payload) from
     # (id, band, key) to (id, key). A cross-band 64-bit collision merely
     # yields a junk candidate that Jaccard verification discards.
+    # Cap interaction (known trade-off): at ~32n keys, birthday collisions
+    # appear around n ~ 10^9 docs; a collision that merges two real groups
+    # past band_group_cap switches that group to star+chain expansion, where
+    # a true pair can be lost if its chain intermediates fail verification.
+    # Connectivity (cluster recall) is preserved either way; if PAIR recall
+    # SLOs tighten at 10^9+ docs, widen the key to (band, hash) two-column
+    # form at the cost of ~1.5x shuffle payload.
     exploded = (
         minhashes
         .select(id_col, F.explode(

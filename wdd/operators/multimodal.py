@@ -131,9 +131,15 @@ def audio_chunks(media: DataFrame, chunk_ms: int = 250) -> DataFrame:
                                      "n_samples", "chunk_sha1")}
             for mid, payload, rate in zip(pdf["media_id"], pdf["payload"],
                                           pdf["sample_rate"]):
+                # NULL payload / non-positive sample_rate rows are dropped —
+                # bytes(None) would raise in the worker, and a degenerate
+                # step=1 fallback would emit one chunk per byte; the oracle
+                # (and any sane consumer) drops such rows instead.
+                if payload is None or rate is None or int(rate) <= 0:
+                    continue
                 buf = bytes(payload)
                 n_samples = len(buf)
-                step = max(1, int(rate or 0) * chunk_ms // 1000)
+                step = max(1, int(rate) * chunk_ms // 1000)
                 for ci, start in enumerate(range(0, n_samples, step)):
                     piece = buf[start:start + step]
                     out["media_id"].append(mid)

@@ -182,6 +182,15 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             ).select("a", "b", "source", "score")
             sub_edges = mat("edges_substring", sub_edges, t)
 
+    # Candidate stages above pinned their exploded tables (pairs.py) for the
+    # sizing+pair double read; once the edge frames are materialized (eager
+    # path) those caches are dead weight competing with shuffle memory —
+    # release them. In the lazy path the edges materialize at the final
+    # actions, so the caches must outlive this function (evictable anyway).
+    if eager_stages or store is not None:
+        from wdd.operators.pairs import release_stage_caches
+        release_stage_caches()
+
     # -- stage: union candidate pairs ---------------------------------------
     with stage_timer(metrics, "candidate_pairs") as t:
         edges = exact_edges.select("a", "b").withColumn("source", F.lit("exact")) \
