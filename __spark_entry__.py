@@ -451,11 +451,190 @@ def q_top_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (hash-kernel pipelines DuckDB cannot express)
+# Surrogate-oracled flagship-path queries (round-2): the J1/J5/substring/ANN/
+# serving machinery runs END-TO-END through the real operators, fed with
+# SQL-derivable surrogate inputs so DuckDB can state the exact expected
+# output (pigeonhole_surrogate technique). The non-SQL hash KERNELS
+# (blake2b simhash, minhash permutations, Karp-Rabin anchors) are separately
+# golden-tested bit-for-bit in tests/test_reference_parity.py +
+# test_kernels.py; dedup_pipeline_clusters below exercises them end-to-end
+# (rows-only, the one genuinely non-SQL-expressible entry).
+# ---------------------------------------------------------------------------
+
+def _surrogate_sig_col(pivot: int | None, suffix: str):
+    """128-slot surrogate MinHash signature, identical in Spark and DuckDB:
+    slot i = 28-bit int from md5(text':'i); slots >= pivot derive from
+    text||suffix instead, so a (base, variant) pair agrees on exactly the
+    first `pivot` slots — planting full-band, partial-band and no-band
+    structure for the LSH band join."""
+    def slot(i: int):
+        src = F.col("text") if (pivot is None or i < pivot) \
+            else F.concat(F.col("text"), F.lit(suffix))
+        return F.conv(
+            F.substring(F.md5(F.concat(src, F.lit(f":{i}"))), 1, 7),
+            16, 10).cast("int")
+    return F.array(*[slot(i) for i in range(128)])
+
+
+def q_lsh_minhash_pairs(spark, sf_dir):
+    """J1+J5 driver-oracled END-TO-END: the real band-explode -> group ->
+    pair-expansion -> signature-join -> Jaccard-estimate operators
+    (wdd/operators/lsh.py, pairs.py) over surrogate signatures that DuckDB
+    derives in closed form. Planted structure:
+      * clones (doc_id%5==0): identical signature -> est 1.0, kept;
+      * near (doc_id%7==0): 104/128 slots shared -> 26 full bands -> caught,
+        est 0.8125 >= 0.7, kept;
+      * band-only (doc_id%13==3): 8 slots = bands 0-1 shared -> caught by J1
+        but est 0.0625 < 0.7 -> rejected by J5 (negative control);
+      * no-band (doc_id%11==5): 3 slots shared, no full band -> never a
+        candidate (negative control for the banding itself).
+    Oracle = pairs sharing >=1 full 4-slot band AND slot-agreement >= 0.7 —
+    exactly the operator's semantics (band-hash collisions ~2^-112/pair).
+    The real minhash kernel is golden-tested in tests/ and runs end-to-end
+    in dedup_pipeline_clusters."""
+    from wdd.operators.lsh import lsh_candidates, verify_jaccard
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.select("doc_id", _surrogate_sig_col(None, "").alias("signature"))
+    clone = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1500000).alias("doc_id"),
+        _surrogate_sig_col(None, "").alias("signature"))
+    near = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        _surrogate_sig_col(104, "#v").alias("signature"))
+    bandonly = docs.where(F.col("doc_id") % 13 == 3).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        _surrogate_sig_col(8, "#w").alias("signature"))
+    noband = docs.where(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        _surrogate_sig_col(3, "#x").alias("signature"))
+    corpus = base.unionByName(clone).unionByName(near) \
+        .unionByName(bandonly).unionByName(noband)
+    cand = lsh_candidates(corpus, id_col="doc_id", sig_col="signature")
+    return (verify_jaccard(cand, corpus, id_col="doc_id")
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                    F.round("score", 4).alias("jaccard_est")))
+
+
+# Fixed 361-char block with 29 interior anchored windows under the engine's
+# Karp-Rabin mod-8 anchor rule (verified by tests/test_operators.py); any two
+# docs containing it share those windows verbatim, so the anchor index MUST
+# pair them. The 60-char short block has no >=100-char window at all.
+_SUB_BLOCK = ("Z3eac1f 81c996 d04d93 ac282a e557c6 9a1182 466f88 86e449 "
+              "d420d7 881d51 548936 4530eb 3c288a 3eb72a 7fc059 a17599 "
+              "d82aed 2b7954 d92403 134b0c 6749c9 b37ed3 457067 02030a "
+              "80600d b84434 d69388 7f9025 f27bdb b54387 5cd751 61af73 "
+              "a601ef 3b4cd6 2c02bd 9222b6 72116e 584280 03bc4d 80280e "
+              "e9acb5 04c197 a9a14c bda2ab fa5849 a71e1f 04ee8b bb999d "
+              "f267cb 589f28 d118e8 e12")
+_SUB_SHORT = "Zc3bbb7 e8c8e5 5d5bcc 5b686c 20a2c3 1d31b9 75240d c70dfe 5db"
+
+
+def q_substring_pairs(spark, sf_dir):
+    """Substring/anchor dedup driver-oracled END-TO-END: the real
+    content-defined anchor UDF -> explode -> group -> pair expansion
+    (wdd/operators/substring.py) over synthetic per-doc texts (12 unique md5
+    chunks per doc — no natural >=100-char cross-doc repeat is possible
+    short of an md5 collision) with a fixed 361-char block planted into
+    doc_id%17==0 docs. Every block pair shares the block's 29 interior
+    anchored windows, so the candidate set is EXACTLY the planted pairs;
+    doc_id%19==1 docs share only a 60-char block (< L=100) — negative
+    control, no pair. band_group_cap is raised so the 30-member block-anchor
+    group emits all pairs (the capped star+chain path is covered by
+    pigeonhole/LSH tests). Oracle: the planted pair set in closed form."""
+    from wdd.config import WddConfig
+    from wdd.operators.substring import substring_candidates
+    d = _docs(spark, sf_dir).select("doc_id")
+    synth = F.concat(*[
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{j}")))
+        for j in range(12)])
+    text = (F.when(F.col("doc_id") % 17 == 0,
+                   F.concat(synth, F.lit(" "), F.lit(_SUB_BLOCK)))
+            .when(F.col("doc_id") % 19 == 1,
+                  F.concat(synth, F.lit(" "), F.lit(_SUB_SHORT)))
+            .otherwise(synth))
+    docs = d.select(F.col("doc_id").alias("id"), text.alias("text"))
+    cfg = WddConfig(band_group_cap=100_000)
+    return (substring_candidates(docs, cfg=cfg)
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                    F.col("score").cast("long").alias("overlap_chars")))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN driver-oracled: the real sign-LSH bucket equi-join +
+    exact cosine re-rank (wdd/operators/similarity.py) at bits=1, where
+    single-bit multiprobe covers BOTH buckets — candidate coverage is total,
+    so the bucketed machinery must reproduce the exact top-5 (oracle =
+    brute-force SQL). Recall at production bit widths (where coverage is
+    probabilistic) is planted-recall-tested in pytest; the join SHAPE —
+    bucket equi-join, never a nested-loop cross product — is identical at
+    every width and is what scales to 100 TB."""
+    from wdd.operators.similarity import lsh_ann_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_ann_topk(emb, q, k=5, dim=64, bits=1).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"))
+
+
+def q_capture_diff(spark, sf_dir):
+    """The reference's end purpose — which captures of one URL differ —
+    driver-oracled: capture_diff_matrix (pairwise Hamming over one key's
+    year of captures, SURVEY.md §3.3) over a surrogate index derived from
+    events (ts14 from ts, 60-bit simhash from md5(event_id)), so DuckDB
+    states every pairwise bit_count(xor) in closed form. The real-kernel
+    index path runs in dedup_pipeline_clusters."""
+    from wdd.operators.lookup import capture_diff_matrix
+    ev = _events(spark, sf_dir)
+    idx = (ev.where(F.col("user_id") == 7)
+           .select(F.lit("com,example)/").alias("surt_key"),
+                   F.date_format("ts", "yyyyMMddHHmmss").alias("ts14"),
+                   F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                      1, 15), 16, 10)
+                   .cast("long").alias("simhash64")))
+    return capture_diff_matrix(idx, "http://example.com/", "2024")
+
+
+def q_simhash_index_year(spark, sf_dir):
+    """S3+S5-S7 serving layout driver-oracled END-TO-END: the real
+    build_simhash_index (surt-key UDF, ts14 derivation, little-endian
+    pack+base64 UDF — T4, reference discover.py:71-77 — and the bucketed
+    layout) over a surrogate simhashes table derived from events. The DuckDB
+    oracle restates the surt key AND the base64 packing byte-for-byte
+    (printf little-endian bytes -> from_hex -> base64), so this value-checks
+    the packing semantics the reference's /simhash?url&year read returns."""
+    from wdd.pipeline import build_simhash_index
+    ev = _events(spark, sf_dir)
+    sims = ev.select(
+        F.concat(F.lit("http://u"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example.org/page/"),
+                 F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+               16, 10).cast("long").alias("simhash64"))
+    idx = build_simhash_index(sims)
+    return (idx.where(F.col("surt_key").startswith("org,example,u7)"))
+            .where(F.substring("ts14", 1, 4) == "2024")
+            .select("surt_key", "ts14", "simhash_b64")
+            .orderBy("surt_key", "ts14", "simhash_b64"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (real hash kernels DuckDB cannot express)
 # ---------------------------------------------------------------------------
 
 def q_dedup_pipeline_clusters(spark, sf_dir):
-    """Flagship: full near-dup pipeline over the synthetic pages corpus."""
+    """Flagship: full near-dup pipeline over the synthetic pages corpus.
+
+    Rows-only BY NECESSITY: the pipeline's values flow through the real
+    blake2b simhash, 128-perm MinHash and Karp-Rabin anchor kernels — none
+    expressible in ANSI SQL. Every kernel is golden-fixture-tested
+    bit-for-bit against the reference (tests/test_reference_parity.py), and
+    every piece of surrounding machinery (band join, pigeonhole join, pair
+    expansion, CC, index layout, packing) is driver-oracled by the surrogate
+    queries above; this entry proves the composed real-kernel pipeline runs
+    end-to-end with planted-truth recall asserted in bench/pytest."""
     from wdd.pipeline import run_dedup_pipeline
     from wdd.sources.pages import synth_pages
     pages, _ = synth_pages(spark, sf_dir, with_truth=False)
@@ -465,66 +644,6 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
             .agg(F.count("*").alias("n_pages"),
                  F.min("url").alias("rep_url"))
             .where(F.col("n_pages") >= 2))
-
-
-def q_lsh_minhash_pairs(spark, sf_dir):
-    """J1: MinHash-LSH verified near-dup pairs over documents."""
-    from wdd.operators.lsh import lsh_candidates, verify_jaccard
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", udfs.minhash128_udf("text").alias("signature"))
-    cand = lsh_candidates(docs, id_col="doc_id", sig_col="signature")
-    return (verify_jaccard(cand, docs, id_col="doc_id")
-            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
-                    F.round("score", 4).alias("jaccard_est")))
-
-
-def q_substring_pairs(spark, sf_dir):
-    """Suffix/anchor substring-overlap pairs over documents."""
-    from wdd.operators.substring import substring_candidates
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
-    return (substring_candidates(docs)
-            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
-                    F.col("score").cast("long").alias("overlap_chars")))
-
-
-def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN: sign-LSH bucketed top-5 (scale path for cosine_topk)."""
-    from wdd.operators.similarity import lsh_ann_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    q = emb.where(F.col("vec_id") < 5) \
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_ann_topk(emb, q, k=5, dim=64, bits=2).select(
-        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
-
-
-def q_capture_diff(spark, sf_dir):
-    """The reference's end purpose: which captures of one URL differ, as
-    pairwise Hamming distances over its year's simhashes (SURVEY.md §3.3)."""
-    from wdd.operators.lookup import capture_diff_matrix
-    from wdd.pipeline import build_simhash_index
-    from wdd.sources.pages import synth_pages
-    from wdd.streaming.ingest import _signature_batch
-    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
-    sims = _signature_batch(pages)
-    idx = build_simhash_index(sims)
-    url = "http://hot.example/doc/0"
-    return capture_diff_matrix(idx, sims, url, "2019").limit(200)
-
-
-def q_simhash_index_year(spark, sf_dir):
-    """S5-S7 serving layout: year-filtered simhash index rows for one URL
-    (the reference's /simhash?url&year read, DataFrame form)."""
-    from wdd.pipeline import build_simhash_index
-    from wdd.sources.pages import synth_pages
-    from wdd.streaming.ingest import _signature_batch
-    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
-    sims = _signature_batch(pages)
-    idx = build_simhash_index(sims)
-    return (idx.where(F.col("surt_key").startswith("example,hot)"))
-            .where(F.substring("ts14", 1, 4) == "2019")
-            .select("surt_key", "ts14", "simhash_b64")
-            .orderBy("surt_key", "ts14").limit(50))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -560,13 +679,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "frame_sample": q_frame_sample,
         "audio_chunks": q_audio_chunks,
-        # rows-only (hash kernels; no SQL oracle possible)
-        "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
         "lsh_minhash_pairs": q_lsh_minhash_pairs,
         "substring_pairs": q_substring_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "capture_diff": q_capture_diff,
         "simhash_index_year": q_simhash_index_year,
+        # rows-only (real hash kernels; no SQL oracle possible — see docstring)
+        "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
     }
 
 
@@ -893,6 +1012,123 @@ def oracle_sql() -> dict[str, str]:
               END AS surt_key,
               v <> 4 AS valid
             FROM d
+        """,
+        "lsh_minhash_pairs": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_transform(range(128), i ->
+                       ('0x' || substr(md5(text || ':' || i), 1, 7))::INT) AS sig
+              FROM documents
+            ),
+            near AS (
+              SELECT doc_id + 2000000 AS doc_id,
+                     list_transform(range(128), i ->
+                       ('0x' || substr(md5((CASE WHEN i < 104 THEN text
+                                            ELSE text || '#v' END)
+                                           || ':' || i), 1, 7))::INT) AS sig
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            bandonly AS (
+              SELECT doc_id + 4000000 AS doc_id,
+                     list_transform(range(128), i ->
+                       ('0x' || substr(md5((CASE WHEN i < 8 THEN text
+                                            ELSE text || '#w' END)
+                                           || ':' || i), 1, 7))::INT) AS sig
+              FROM documents WHERE doc_id % 13 = 3
+            ),
+            noband AS (
+              SELECT doc_id + 3000000 AS doc_id,
+                     list_transform(range(128), i ->
+                       ('0x' || substr(md5((CASE WHEN i < 3 THEN text
+                                            ELSE text || '#x' END)
+                                           || ':' || i), 1, 7))::INT) AS sig
+              FROM documents WHERE doc_id % 11 = 5
+            ),
+            corpus AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT doc_id + 1500000, sig FROM base WHERE doc_id % 5 = 0
+              UNION ALL SELECT * FROM near
+              UNION ALL SELECT * FROM bandonly
+              UNION ALL SELECT * FROM noband
+            ),
+            bands AS (
+              SELECT doc_id, unnest(range(32)) AS b, sig FROM corpus
+            ),
+            sliced AS (
+              SELECT doc_id, b, sig[b*4+1:b*4+4] AS slice FROM bands
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM sliced x JOIN sliced y
+                ON x.b = y.b AND x.slice = y.slice AND x.doc_id < y.doc_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_filter(range(128),
+                             i -> sa.sig[i+1] = sb.sig[i+1])) / 128.0, 4)
+                     AS jaccard_est
+            FROM cand c
+            JOIN corpus sa ON sa.doc_id = c.doc_a
+            JOIN corpus sb ON sb.doc_id = c.doc_b
+            WHERE len(list_filter(range(128),
+                      i -> sa.sig[i+1] = sb.sig[i+1])) / 128.0 >= 0.7
+        """,
+        "substring_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   100::BIGINT AS overlap_chars
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 = 0
+        """,
+        "ann_lsh_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.cv, q.qv) AS cos
+              FROM c CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank,
+                     cos
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank::BIGINT AS rank,
+                   round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "capture_diff": """
+            WITH caps AS (
+              SELECT strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+                     ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events WHERE user_id = 7 AND year(ts) = 2024
+            )
+            SELECT a.ts14 AS ts_a, b.ts14 AS ts_b,
+                   bit_count(xor(a.h, b.h))::BIGINT AS hamming
+            FROM caps a JOIN caps b ON a.ts14 < b.ts14
+        """,
+        "simhash_index_year": """
+            WITH sims AS (
+              SELECT 'org,example,u' || (user_id % 20)::VARCHAR
+                       || ')/page/' || user_id::VARCHAR AS surt_key,
+                     strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+                     ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events
+            )
+            SELECT surt_key, ts14,
+                   to_base64(from_hex(printf(
+                     '%02x%02x%02x%02x%02x%02x%02x%02x',
+                     h & 255, (h >> 8) & 255, (h >> 16) & 255,
+                     (h >> 24) & 255, (h >> 32) & 255, (h >> 40) & 255,
+                     (h >> 48) & 255, (h >> 56) & 255))) AS simhash_b64
+            FROM sims
+            WHERE surt_key LIKE 'org,example,u7)%'
+              AND substr(ts14, 1, 4) = '2024'
+            ORDER BY surt_key, ts14, simhash_b64
         """,
         "multimodal_image_features": """
             SELECT doc_id AS media_id, 8::BIGINT AS width, 8::BIGINT AS height,

@@ -138,7 +138,7 @@ def test_capture_diff_matrix(spark, sf_dir):
     pages, _ = synth_pages(spark, sf_dir, with_truth=False)
     sims = _signature_batch(pages)
     idx = build_simhash_index(sims)
-    out = capture_diff_matrix(idx, sims, "http://hot.example/doc/0", "2019").collect()
+    out = capture_diff_matrix(idx, "http://hot.example/doc/0", "2019").collect()
     # doc 0 is 7-divisible -> base + exact-dup capture of the same url
     assert len(out) == 1
     assert out[0].hamming == 0  # identical content -> identical simhash

@@ -149,8 +149,7 @@ def compress_captures_df(index: DataFrame) -> DataFrame:
     )
 
 
-def capture_diff_matrix(index: DataFrame, simhashes: DataFrame,
-                        url: str, year: str) -> DataFrame:
+def capture_diff_matrix(index: DataFrame, url: str, year: str) -> DataFrame:
     """The reference's end purpose — 'discover which captures differ': the
     pairwise Hamming distances between one URL's captures in a year.
     After surt_key+year pruning the capture set is tiny (<= ~1095 by the
