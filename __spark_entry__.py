@@ -333,12 +333,59 @@ def q_json_props(spark, sf_dir):
                  F.sum("k").cast("long").alias("sum_k")))
 
 
+_EMB_DIM = 16      # planted-cluster vector dimensionality
+_EMB_CLUSTERS = 20
+
+
+def _planted_vectors(spark, sf_dir):
+    """Clustered unit-scale vectors derivable in closed form in BOTH engines:
+    cluster c = doc_id%20 has a random-sign center (md5-derived +-1 per
+    coordinate); members add a +-0.025 md5-derived perturbation. Within-
+    cluster cosine >= ~0.999; cross-cluster <= ~0.8 (16-dim random-sign
+    centers) — a clean near-dup threshold gap at 0.9."""
+    def slot(j: int):
+        c = (F.col("doc_id") % _EMB_CLUSTERS).cast("string")
+        sgn = F.when(
+            F.conv(F.substring(F.md5(
+                F.concat(F.lit("c:"), c, F.lit(f":{j}"))), 1, 1), 16, 10)
+            .cast("int") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        pert = (F.conv(F.substring(F.md5(
+            F.concat(F.lit("m:"), F.col("doc_id").cast("string"),
+                     F.lit(f":{j}"))), 1, 1), 16, 10).cast("int")
+            / F.lit(15.0) - F.lit(0.5)) * F.lit(0.05)
+        return sgn + pert
+    return (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.array(*[slot(j) for j in range(_EMB_DIM)])
+                    .alias("embedding")))
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline)."""
+    """Embedding-cosine near-dup pairs through the DEFAULT scale path:
+    multi-table sign-LSH bucket equi-join + exact cosine re-rank
+    (wdd/operators/similarity.py cosine_dup_pairs method='lsh'). Input is
+    the planted-cluster corpus (closed form in both engines); oracle =
+    brute-force SQL over the same vectors, so the bucketed path must find
+    EVERY within-cluster pair — at angle <= ~0.03 rad the per-pair miss
+    probability is ~1e-17 over 4 tables with multiprobe, and the fixed
+    seeded hyperplanes + fixed data make the result deterministic. The
+    physical plan is asserted equi-join (no BroadcastNestedLoopJoin) in
+    tests/test_textstats_similarity.py."""
+    from wdd.operators.similarity import cosine_dup_pairs
+    return cosine_dup_pairs(_planted_vectors(spark, sf_dir), threshold=0.9,
+                            dim=_EMB_DIM)
+
+
+def q_embedding_dup_pairs_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact brute-force baseline over the
+    REAL embeddings table at a loose threshold (0.3 — near-uniform pairs no
+    LSH family can bucket losslessly). O(n^2) BY DESIGN: this is the oracle
+    baseline and the API-small-input path; the production default is the
+    LSH-bucketed method above."""
     from wdd.operators.similarity import cosine_dup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    return cosine_dup_pairs(emb, threshold=0.3)
+    return cosine_dup_pairs(emb, threshold=0.3, method="exact")
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -673,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_index": q_compress_index,
         "json_props": q_json_props,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_exact": q_embedding_dup_pairs_exact,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "url_canonical": q_url_canonical,
@@ -961,7 +1009,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
             FROM events GROUP BY 1
         """,
-        "embedding_dup_pairs": """
+        "embedding_dup_pairs": f"""
+            WITH e AS (
+              SELECT doc_id AS vec_id,
+                     list_transform(range({_EMB_DIM}), j ->
+                       (CASE WHEN ('0x' || substr(md5('c:' ||
+                                 (doc_id % {_EMB_CLUSTERS}) || ':' || j),
+                                 1, 1))::INT % 2 = 0
+                             THEN 1.0 ELSE -1.0 END)
+                       + (('0x' || substr(md5('m:' || doc_id || ':' || j),
+                                          1, 1))::INT / 15.0 - 0.5) * 0.05
+                     ) AS v
+              FROM documents
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        """,
+        "embedding_dup_pairs_exact": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine

@@ -174,9 +174,40 @@ def test_decode_stub_raises_without_fake():
         decode_image(b"payload")
 
 
-def test_cosine_dup_pairs(spark, emb):
+def test_cosine_dup_pairs_exact(spark, emb):
     from wdd.operators.similarity import cosine_dup_pairs
     from pyspark.sql import functions as F
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    out = cosine_dup_pairs(e.limit(100), threshold=0.3).collect()
+    out = cosine_dup_pairs(e.limit(100), threshold=0.3, method="exact").collect()
     assert all(r.vec_a < r.vec_b and r.cosine >= 0.3 for r in out)
+
+
+def test_cosine_dup_pairs_lsh_matches_exact_and_is_equijoin(spark, sf_dir):
+    """The default (LSH-bucketed) dup-pairs path: exact agreement with brute
+    force on the planted-cluster corpus, and a physical plan with NO
+    nested-loop/cartesian join anywhere (the round-1 scale-killer)."""
+    import __spark_entry__ as entry
+    lsh = entry.q_embedding_dup_pairs(spark, sf_dir)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r.vec_a, r.vec_b, r.cosine) for r in lsh.collect()}
+    from wdd.operators.similarity import cosine_dup_pairs
+    brute = cosine_dup_pairs(entry._planted_vectors(spark, sf_dir),
+                             threshold=0.9, method="exact")
+    want = {(r.vec_a, r.vec_b, r.cosine) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_substring_block_constants_anchor():
+    """q_substring_pairs' planted block must contain interior anchored
+    windows under the engine's anchor rule (else the oracle's pair set is
+    unreachable), and the short negative-control block must not."""
+    import __spark_entry__ as entry
+    from wdd.config import DEFAULT
+    from wdd.operators.substring import rolling_anchor_hashes
+    block = rolling_anchor_hashes(entry._SUB_BLOCK, DEFAULT.min_overlap_chars,
+                                  DEFAULT.anchor_modulus)
+    short = rolling_anchor_hashes(entry._SUB_SHORT, DEFAULT.min_overlap_chars,
+                                  DEFAULT.anchor_modulus)
+    assert len(block) > 0 and len(short) == 0
