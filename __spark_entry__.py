@@ -236,6 +236,52 @@ def q_pigeonhole_surrogate(spark, sf_dir):
         .alias("hamming"))
 
 
+# planted XOR masks for the f=256 pigeonhole oracle (per 64-bit word):
+# h1 = Hamming-1 (found), h3 = Hamming-3 across 3 words (word 1 intact ->
+# found via its block), h5 = 5 bits across words 0-2 (word 3 intact ->
+# candidate, rejected by verify), h4 = 1 bit in EVERY word (no shared
+# block -> never a candidate; pigeonhole only guarantees <= k).
+_PH256_H1 = (0, 1 << 7, 0, 0)
+_PH256_H3 = (1 << 2, 0, 1 << 40, 1 << 55)
+_PH256_H5 = ((1 << 1) | (1 << 11), (1 << 21) | (1 << 31), 1 << 51, 0)
+_PH256_H4 = (1 << 9, 1 << 9, 1 << 9, 1 << 9)
+
+
+def q_pigeonhole256_surrogate(spark, sf_dir):
+    """J2 at the reference's PROD width (f=256, conf.yml.example:2; enforced
+    <=512 by discover.py:95-96), driver-oracled: the real multi-word
+    pigeonhole operator (wdd/operators/pigeonhole.py
+    pigeonhole_candidates_parts — array<long> ids through the same
+    distinct -> block-key explode -> group -> pair-expansion -> codegen
+    Hamming verify plan) over 4x60-bit md5 surrogate words with planted
+    Hamming-1/-3 neighbors plus two negative controls. Oracle = pairs
+    sharing >=1 of the 4 64-bit blocks AND total bit_count(xor) <= 3. The
+    real blake2b kernel at f=256 is parity-tested in tests/test_kernels.py
+    and runs end-to-end in the cfg(simhash_size=256) pipeline
+    (tests/test_pipeline.py)."""
+    from wdd.operators.pigeonhole import (hamming_parts_col,
+                                          pigeonhole_candidates_parts)
+    cfg = WddConfig(simhash_size=256, n_blocks=4, hamming_k=3)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def parts(xors):
+        return F.array(*[
+            F.conv(F.substring(F.md5(F.concat(F.col("text"), F.lit(f"|{j}"))),
+                               1, 15), 16, 10).cast("long")
+            .bitwiseXOR(F.lit(xors[j]))
+            for j in range(4)])
+
+    tenth = docs.where(F.col("doc_id") % 10 == 3)
+    corpus = docs.select(parts((0, 0, 0, 0)).alias("sim_parts"))
+    for m in (_PH256_H1, _PH256_H3, _PH256_H5, _PH256_H4):
+        corpus = corpus.unionByName(tenth.select(parts(m).alias("sim_parts")))
+    pairs = pigeonhole_candidates_parts(corpus, cfg=cfg)
+    return pairs.select(
+        *[F.col("a")[j].alias(f"a{j}") for j in range(4)],
+        *[F.col("b")[j].alias(f"b{j}") for j in range(4)],
+        hamming_parts_col("a", "b").cast("long").alias("hamming"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Similarity search: exact brute-force cosine top-5 for 5 queries."""
     from wdd.operators.similarity import cosine_topk
@@ -711,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regroup_daily": q_regroup_daily,
         "dictionary_encode": q_dictionary_encode,
         "pigeonhole_surrogate": q_pigeonhole_surrogate,
+        "pigeonhole256_surrogate": q_pigeonhole256_surrogate,
         "cosine_topk": q_cosine_topk,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -857,6 +904,41 @@ def oracle_sql() -> dict[str, str]:
                 OR (a.h >> 30) & 32767 = (b.h >> 30) & 32767
                 OR (a.h >> 45) & 32767 = (b.h >> 45) & 32767)
               AND bit_count(xor(a.h, b.h)) <= 3
+        """,
+        "pigeonhole256_surrogate": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_transform(range(4), j ->
+                       ('0x' || substr(md5(text || '|' || j), 1, 15))::BIGINT)
+                       AS parts
+              FROM documents
+            ),
+            corpus AS (
+              SELECT parts FROM p
+        """ + "".join(
+            f"""  UNION ALL
+              SELECT [xor(parts[1], {m[0]}), xor(parts[2], {m[1]}),
+                      xor(parts[3], {m[2]}), xor(parts[4], {m[3]})]
+              FROM p WHERE doc_id % 10 = 3
+            """ for m in (_PH256_H1, _PH256_H3, _PH256_H5, _PH256_H4)) + """
+            ),
+            dp AS (SELECT DISTINCT parts FROM corpus),
+            blk AS (SELECT parts, unnest(range(4)) AS j FROM dp),
+            keyed AS (SELECT parts, j, parts[j+1] AS val FROM blk),
+            cand AS (
+              SELECT DISTINCT x.parts AS pa, y.parts AS pb
+              FROM keyed x JOIN keyed y
+                ON x.j = y.j AND x.val = y.val AND x.parts < y.parts
+            )
+            SELECT pa[1] AS a0, pa[2] AS a1, pa[3] AS a2, pa[4] AS a3,
+                   pb[1] AS b0, pb[2] AS b1, pb[3] AS b2, pb[4] AS b3,
+                   (bit_count(xor(pa[1], pb[1])) + bit_count(xor(pa[2], pb[2]))
+                    + bit_count(xor(pa[3], pb[3]))
+                    + bit_count(xor(pa[4], pb[4])))::BIGINT AS hamming
+            FROM cand
+            WHERE bit_count(xor(pa[1], pb[1])) + bit_count(xor(pa[2], pb[2]))
+                  + bit_count(xor(pa[3], pb[3]))
+                  + bit_count(xor(pa[4], pb[4])) <= 3
         """,
         "cosine_topk": """
             WITH q AS (

@@ -89,3 +89,41 @@ def test_extract_text_bytes_and_errors():
     assert extract_text(b"<p>Hello, World!</p>") == "hello\nworld"
     assert extract_text(b"\xff\xfe\x00bad") == ""
     assert extract_text(None) == ""
+
+
+def test_simhash_parts_batch_matches_pure_python_all_widths():
+    """The f-parametric parts kernel (the f=256 prod-config hot path) must
+    reproduce calculate_simhash at every byte-aligned width, word by word,
+    and its b64 packing must match simhash_b64 (reference discover.py:71-77,
+    conf.yml.example:2 prod f=256)."""
+    from wdd.kernels.simhash import parts_to_b64, simhash_parts_batch
+    rng = random.Random(4321)
+    batch = [_random_features(rng, rng.randint(0, 20)) for _ in range(32)]
+    batch[0] = {}   # empty-features sentinel -> all-zero words
+    mask = (1 << 64) - 1
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    for f in (64, 128, 256, 512):
+        got = simhash_parts_batch(batch, f, "blake2b")
+        for feats, parts in zip(batch, got):
+            h = calculate_simhash(feats, f, custom_hash_function)
+            assert parts == [signed((h >> (64 * j)) & mask)
+                             for j in range(f // 64)]
+            assert parts_to_b64(parts, f) == simhash_b64(h, f)
+
+
+def test_simhash_parts_batch_md5_and_width_gt_digest():
+    """md5 token hash (128-bit digest) at f=256: high bits must be zero,
+    matching calculate_simhash's mask semantics."""
+    from wdd.kernels.simhash import simhash_parts_batch
+    feats = {"two": 2, "three": 3, "one": 1}
+    h = calculate_simhash(feats, 256, None)   # default md5 hash
+    got = simhash_parts_batch([feats], 256, "md5")[0]
+    mask = (1 << 64) - 1
+    assert got == [((h >> (64 * j)) & mask) - (1 << 64)
+                   if (h >> (64 * j)) & mask >= (1 << 63)
+                   else (h >> (64 * j)) & mask
+                   for j in range(4)]
+    assert got[2] == 0 and got[3] == 0   # md5 has only 128 bits

@@ -109,3 +109,29 @@ def test_metrics_recorded(pipeline_result, spark):
             "edges_pigeonhole", "candidate_pairs", "clusters"} <= stages
     df = res.metrics.to_df(spark)
     assert df.where(F.col("rows_out") > 0).count() >= 5
+
+
+def test_pipeline_f256_end_to_end(spark, sf_dir):
+    """Reference PROD config (simhash.size: 256, conf.yml.example:2) runs the
+    whole pipeline: array<long> simhash words through the multi-word
+    pigeonhole join, the b64 index packs 32 bytes, capture-diff computes
+    multi-word Hamming, and cluster labels broadly agree with the f=64 run
+    (exact + LSH edges are width-independent; only near-dup Hamming edges
+    differ at the margin)."""
+    import base64
+    from wdd.config import WddConfig
+    from wdd.operators.lookup import capture_diff_matrix
+    cfg = WddConfig(simhash_size=256, n_blocks=4, hamming_k=3)
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    res = run_dedup_pipeline(spark, pages, cfg=cfg)
+    assert res.cc_converged
+    assert dict(res.simhashes.dtypes)["sim_parts"] == "array<bigint>"
+    idx = build_simhash_index(res.simhashes, cfg)
+    row = idx.select("simhash_b64").first()
+    assert len(base64.b64decode(row.simhash_b64)) == 256 // 8
+    d = capture_diff_matrix(idx, "http://hot.example/doc/0", "2019").collect()
+    assert len(d) == 1 and d[0].hamming == 0   # exact-dup capture planted
+    res64 = run_dedup_pipeline(spark, pages)
+    c256 = {(r.page_id, r.cluster_id) for r in res.clusters.collect()}
+    c64 = {(r.page_id, r.cluster_id) for r in res64.clusters.collect()}
+    assert len(c256 & c64) / len(c64) > 0.95

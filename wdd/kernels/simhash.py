@@ -92,6 +92,68 @@ def _token_bits64(tokens: list[str], hash_name: str) -> np.ndarray:
     return np.unpackbits(buf, axis=1)
 
 
+def simhash_parts_batch(features_list, simhash_size: int,
+                        hash_name: str = "blake2b") -> list[list[int]]:
+    """SimHash at any byte-aligned f <= 512 over a batch of {token: weight}
+    dicts -> per-doc list of f/64 signed int64 words, little-endian word
+    order (word j holds bits [64j, 64j+64) of the reference integer — the
+    same layout pack_simhash_to_bytes(h, f) writes, 8 bytes per word).
+
+    This is the f=256 production-config hot path (reference
+    conf.yml.example:2 pins simhash.size: 256; discover.py:95-96 enforces
+    f <= 512): same one-hash-per-distinct-token + matrix-vote structure as
+    simhash64_batch, widened to f bit columns.
+    """
+    assert simhash_size % 64 == 0 and simhash_size <= 512
+    n_parts = simhash_size // 64
+    n_bytes = simhash_size // 8
+    if hash_name == "blake2b":
+        digest = hashlib.blake2b
+    elif hash_name == "md5":
+        digest = hashlib.md5
+    else:
+        raise ValueError(f"unknown simhash token hash {hash_name!r}")
+    out: list[list[int]] = [[0] * n_parts for _ in features_list]
+    vocab: dict[str, int] = {}
+    for feats in features_list:
+        if feats:
+            for tok in feats:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+    if not vocab:
+        return out
+    # low f bits of the big-endian digest int == its last f/8 bytes;
+    # unpackbits is MSB-first, so reverse columns for LSB-first bit index
+    buf = np.empty((len(vocab), n_bytes), dtype=np.uint8)
+    for i, tok in enumerate(vocab):
+        dg = digest(tok.encode("utf-8")).digest()
+        if len(dg) < n_bytes:      # digest shorter than f: high bits are 0
+            dg = b"\x00" * (n_bytes - len(dg)) + dg
+        buf[i] = np.frombuffer(dg[-n_bytes:], dtype=np.uint8)
+    bits = np.unpackbits(buf, axis=1)[:, ::-1].astype(np.int64)  # (V, f)
+    for d, feats in enumerate(features_list):
+        if not feats:
+            continue
+        idx = np.fromiter((vocab[t] for t in feats), dtype=np.int64,
+                          count=len(feats))
+        w = np.fromiter(feats.values(), dtype=np.int64, count=len(feats))
+        ones = w @ bits[idx]                           # (f,) per LSB-first bit
+        bitvals = (2 * ones > int(w.sum())).astype(np.uint8)
+        for j in range(n_parts):
+            word = np.packbits(bitvals[64 * j:64 * (j + 1)],
+                               bitorder="little").tobytes()
+            out[d][j] = int.from_bytes(word, "little", signed=True)
+    return out
+
+
+def parts_to_b64(parts: list[int], simhash_size: int) -> str:
+    """base64 of the little-endian packed simhash, from its 64-bit words —
+    byte-identical to simhash_b64(h, f) (reference discover.py:71-77)."""
+    import struct
+    raw = b"".join(struct.pack("<q", int(w)) for w in parts)
+    return base64.b64encode(raw[:simhash_size // 8]).decode("ascii")
+
+
 def simhash64_batch(features_list, hash_name: str = "blake2b") -> np.ndarray:
     """SimHash f=64 over a batch of {token: weight} dicts -> int64 array.
 

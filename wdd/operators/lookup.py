@@ -155,18 +155,24 @@ def capture_diff_matrix(index: DataFrame, url: str, year: str) -> DataFrame:
     After surt_key+year pruning the capture set is tiny (<= ~1095 by the
     reference's own collapse policy), so the pairwise self-join is bounded.
 
-    Output: (ts_a, ts_b, hamming) with ts_a < ts_b."""
+    Output: (ts_a, ts_b, hamming) with ts_a < ts_b. Handles both simhash
+    layouts: scalar long `simhash64` (f=64) and array<long> `sim_parts`
+    (the reference's prod f=256 config, conf.yml.example:2)."""
     key = surt(url)
+    sim_col = "sim_parts" if "sim_parts" in index.columns else "simhash64"
     caps = (index.where((F.col("surt_key") == key)
                         & (F.substring("ts14", 1, 4) == str(year))
                         & (F.length("ts14") == 14))
-            .select("ts14", "simhash64"))
-    a = caps.select(F.col("ts14").alias("ts_a"), F.col("simhash64").alias("_sa"))
-    b = caps.select(F.col("ts14").alias("ts_b"), F.col("simhash64").alias("_sb"))
+            .select("ts14", sim_col))
+    a = caps.select(F.col("ts14").alias("ts_a"), F.col(sim_col).alias("_sa"))
+    b = caps.select(F.col("ts14").alias("ts_b"), F.col(sim_col).alias("_sb"))
+    if sim_col == "sim_parts":
+        from wdd.operators.pigeonhole import hamming_parts_col
+        ham = hamming_parts_col("_sa", "_sb")
+    else:
+        ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (a.join(b, F.col("ts_a") < F.col("ts_b"))
-            .select("ts_a", "ts_b",
-                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-                    .cast("long").alias("hamming")))
+            .select("ts_a", "ts_b", ham.cast("long").alias("hamming")))
 
 
 def sentinel_rows(spark, url: str, year) -> DataFrame:

@@ -60,6 +60,72 @@ def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
     return dedup_pairs(verified)
 
 
+def hamming_parts_col(a: str, b: str):
+    """Hamming distance between two array<long> word vectors — pure codegen
+    (zip_with xor + bit_count + aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0), lambda acc, x: acc + x)
+
+
+def parts_block_keys_col(parts_col: str, n_blocks: int, bits: int):
+    """One 64-bit key per block for multi-word simhashes (f > 64, the
+    reference's prod f=256 path, conf.yml.example:2). Block j covers bits
+    [j*width, (j+1)*width); the key hashes (block value, block index) so
+    equal values in different blocks never collide into one group. Two
+    word-alignment regimes cover every sane config:
+      * width % 64 == 0: the block is a word slice -> xxhash64(slice, j);
+      * 64 % width == 0: the block is a sub-word field -> extract + hash.
+    A 64-bit key collision only ADDS a candidate, which the exact
+    bit_count verification then rejects — recall is unaffected."""
+    width = bits // n_blocks
+    if width % 64 == 0:
+        wpb = width // 64
+        return F.array(*[
+            F.xxhash64(F.slice(parts_col, j * wpb + 1, wpb), F.lit(j))
+            for j in range(n_blocks)
+        ])
+    if 64 % width != 0:
+        raise ValueError(
+            f"block width {width} must divide or be a multiple of 64")
+    per_word = 64 // width
+    mask = (1 << width) - 1
+    return F.array(*[
+        F.xxhash64(
+            F.expr(f"shiftrightunsigned({parts_col}[{j // per_word}], "
+                   f"{(j % per_word) * width}) & {mask}"),
+            F.lit(j))
+        for j in range(n_blocks)
+    ])
+
+
+def pigeonhole_candidates_parts(simhashes: DataFrame,
+                                parts_col: str = "sim_parts",
+                                cfg: WddConfig = DEFAULT) -> DataFrame:
+    """pigeonhole_candidates for f > 64: simhash as array<long> of f/64
+    little-endian words (the layout make_simhash_parts_udf emits). Same
+    plan shape as the 64-bit path — distinct values, one explode, one
+    groupBy shuffle, codegen Hamming verify — with array-typed ids (Spark
+    arrays of longs group, sort and join like scalars).
+
+    Output columns a, b are the word arrays themselves, lexicographically
+    ordered a < b."""
+    distinct = (simhashes.select(F.col(parts_col).alias("sim"))
+                .where(F.col("sim").isNotNull())
+                .dropDuplicates(["sim"]))
+    exploded = distinct.select(
+        "sim",
+        F.explode(parts_block_keys_col("sim", cfg.n_blocks, cfg.simhash_size))
+        .alias("block_key"),
+    )
+    pairs = pairs_from_groups_scalable(
+        exploded, ["block_key"], "sim",
+        cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
+        source="pigeonhole")
+    verified = pairs.where(hamming_parts_col("a", "b") <= cfg.hamming_k)
+    return dedup_pairs(verified)
+
+
 def simhash_pairs_to_page_pairs(sim_pairs: DataFrame, simhashes: DataFrame,
                                 id_col: str = "page_id",
                                 sim_col: str = "simhash64") -> DataFrame:

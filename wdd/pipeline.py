@@ -93,15 +93,25 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # of one UDF-produced struct re-evaluates the UDF per reference, and
     # chaining Python UDFs in one plan serializes their Arrow rounds —
     # measured 2-4x slower than the two-step plan.
+    # f=64 (north-star) uses the scalar long simhash64; any other byte-
+    # aligned f (the reference's PROD config is 256, conf.yml.example:2)
+    # flows an array<long> of f/64 words through the same stages — the
+    # pigeonhole join, index packing and diff matrix all have parts-typed
+    # forms with identical plan shapes.
+    wide = cfg.simhash_size != 64
+    sim_col = "sim_parts" if wide else "simhash64"
     with stage_timer(metrics, "signatures") as t:
         if use_precomputed_text:
             feats = prepped.select("digest", "text") \
                 .dropDuplicates(["digest"]).repartition(udf_parallelism)
             feats = feats.localCheckpoint(eager=True) if eager_stages \
                 else feats.persist()
+            sim_expr = (udfs.make_simhash_parts_text_udf(
+                cfg.simhash_size, cfg.simhash_hash)("text") if wide
+                else udfs.simhash64_text_udf("text"))
             sigs = feats.select(
                 "digest", "text",
-                udfs.simhash64_text_udf("text").alias("simhash64"),
+                sim_expr.alias(sim_col),
                 udfs.minhash128_udf("text").alias("signature"),
             )
         else:
@@ -111,9 +121,12 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                 "digest", udfs.extract_features_udf("html").alias("x"))
             feats = feats.localCheckpoint(eager=True) if eager_stages \
                 else feats.persist()
+            sim_expr = (udfs.make_simhash_parts_udf(
+                cfg.simhash_size, cfg.simhash_hash)("x.features") if wide
+                else udfs.simhash64_udf("x.features"))
             sigs = feats.select(
                 "digest", F.col("x.text").alias("text"),
-                udfs.simhash64_udf("x.features").alias("simhash64"),
+                sim_expr.alias(sim_col),
                 udfs.minhash128_udf("x.text").alias("signature"),
             )
         sigs = mat("signatures", sigs, t, shared=True)
@@ -128,7 +141,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # broadcast); pin a shuffle join explicitly.
     with stage_timer(metrics, "simhashes") as t:
         simhashes = prepped.select("url", "warc_ts", "digest", "page_id").join(
-            sigs.select("digest", "simhash64").hint("shuffle_hash"),
+            sigs.select("digest", sim_col).hint("shuffle_hash"),
             "digest")
         simhashes = mat("simhashes", simhashes, t, shared=True)
 
@@ -139,7 +152,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # carrying the signature array through groupBy(digest).
     rep_ids = prepped.groupBy("digest").agg(F.min("page_id").alias("rep"))
     reps = rep_ids.join(
-        sigs.select("digest", "simhash64", "signature").hint("shuffle_hash"),
+        sigs.select("digest", sim_col, "signature").hint("shuffle_hash"),
         "digest")
     reps = reps.localCheckpoint(eager=True) if eager_stages else reps.persist()
 
@@ -162,9 +175,12 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
 
     # -- stage: Hamming pigeonhole candidates (J2) --------------------------
     with stage_timer(metrics, "edges_pigeonhole") as t:
-        sim_pairs = P.pigeonhole_candidates(reps, id_col="simhash64", cfg=cfg)
+        sim_pairs = (P.pigeonhole_candidates_parts(reps, parts_col=sim_col,
+                                                   cfg=cfg) if wide
+                     else P.pigeonhole_candidates(reps, id_col=sim_col,
+                                                  cfg=cfg))
         ph_edges = P.simhash_pairs_to_page_pairs(
-            sim_pairs, reps, id_col="rep", sim_col="simhash64"
+            sim_pairs, reps, id_col="rep", sim_col=sim_col
         ).withColumn(
             "score", F.lit(None).cast("double")
         ).select("a", "b", "source", "score")
@@ -239,11 +255,14 @@ def build_simhash_index(simhashes: DataFrame,
     """Query-serving layout (S3): surt_key + ts14 + b64 simhash, bucketed by
     url hash so point lookups prune to one bucket (the parquet fallback for
     Iceberg's bucket(N, url) transform — SURVEY.md §7.6)."""
+    b64 = (udfs.make_parts_b64_udf()("sim_parts")  # f = 64 * word count
+           if "sim_parts" in simhashes.columns
+           else udfs.simhash_b64_udf("simhash64"))
     return (
         simhashes
         .withColumn("surt_key", udfs.surt_key_udf("url"))
         .withColumn("ts14", F.date_format("warc_ts", "yyyyMMddHHmmss"))
-        .withColumn("simhash_b64", udfs.simhash_b64_udf("simhash64"))
+        .withColumn("simhash_b64", b64)
         .withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.url_buckets)))
         .repartition(cfg.url_buckets, "bucket")
         .sortWithinPartitions("surt_key", "ts14")

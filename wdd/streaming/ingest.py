@@ -17,17 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wdd import udfs
+from wdd.config import DEFAULT, WddConfig
 from wdd.operators import dedup as D
 
 
-def _signature_batch(batch: DataFrame) -> DataFrame:
+def _signature_batch(batch: DataFrame, cfg: WddConfig = DEFAULT) -> DataFrame:
+    wide = cfg.simhash_size != 64
     prepped = D.with_page_id(D.with_digest(batch))
     uniq = prepped.select("digest", "html").dropDuplicates(["digest"])
+    sim_expr = (udfs.make_simhash_parts_udf(
+        cfg.simhash_size, cfg.simhash_hash)("x.features") if wide
+        else udfs.simhash64_udf("x.features"))
     sigs = uniq.select(
         "digest", udfs.extract_features_udf("html").alias("x")
     ).select(
         "digest",
-        udfs.simhash64_udf("x.features").alias("simhash64"),
+        sim_expr.alias("sim_parts" if wide else "simhash64"),
         udfs.minhash128_udf("x.text").alias("signature"),
     )
     return prepped.select("url", "warc_ts", "digest", "page_id") \

@@ -91,6 +91,48 @@ def simhash_b64_udf(simhash64: pd.Series) -> pd.Series:
     ])
 
 
+def make_simhash_parts_udf(simhash_size: int = 256,
+                           hash_name: str = DEFAULT.simhash_hash):
+    """Reference-prod config (f=256, conf.yml.example:2) HOT PATH: SimHash at
+    any byte-aligned f as array<long> of f/64 little-endian 64-bit words
+    (word j = bits [64j, 64j+64) of the reference integer), vectorized per
+    Arrow batch like simhash64_udf. Input: {token: weight} features map."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def simhash_parts_udf(features: pd.Series) -> pd.Series:
+        return pd.Series(_simhash.simhash_parts_batch(
+            [dict(f) if f else {} for f in features], simhash_size, hash_name))
+    return simhash_parts_udf
+
+
+def make_simhash_parts_text_udf(simhash_size: int = 256,
+                                hash_name: str = DEFAULT.simhash_hash):
+    """T1+T3 fused at parametric f for already-normalized text columns."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def simhash_parts_text_udf(text: pd.Series) -> pd.Series:
+        feats = [dict(Counter(t.split())) if isinstance(t, str) and t else {}
+                 for t in text]
+        return pd.Series(_simhash.simhash_parts_batch(feats, simhash_size,
+                                                      hash_name))
+    return simhash_parts_text_udf
+
+
+def make_parts_b64_udf(simhash_size: int | None = None):
+    """T4 at parametric f: 64-bit words -> little-endian bytes -> base64
+    (reference packing, discover.py:71-77 + 180-182). With size=None the
+    width is taken from the word count (f = 64 * len(parts))."""
+
+    @pandas_udf(StringType())
+    def parts_b64_udf(parts: pd.Series) -> pd.Series:
+        return pd.Series([
+            _simhash.parts_to_b64(list(p), simhash_size or 64 * len(p))
+            if p is not None else None
+            for p in parts
+        ])
+    return parts_b64_udf
+
+
 def make_simhash_bytes_udf(simhash_size: int = 256):
     """Reference-prod config path (f=256, conf.yml.example:2): packed
     little-endian bytes (BinaryType) per discover.py:71-77, blake2b token
