@@ -531,6 +531,38 @@ def q_audio_chunks(spark, sf_dir):
                     F.col("n_samples").cast("long").alias("n_samples")))
 
 
+def q_job_dedup(spark, sf_dir):
+    """Idempotent job submission (reference web.py:29-43 get_active_task,
+    SURVEY.md §2.6) driver-oracled: requested (url, year) work anti-joined
+    against a ledger whose LATEST status blocks ('running'/'done') or
+    permits ('failed') resubmission — wdd/jobs.py pending_work, one
+    distinct + per-job latest-status window + one anti-join. Planted
+    ledger: user%4==0 running->done (blocked), ==1 running->failed (reruns
+    — latest-wins semantics), ==2 running (blocked), ==3 absent (fresh)."""
+    from wdd.jobs import job_id_col, pending_work
+    ev = _events(spark, sf_dir)
+    url = F.concat(F.lit("http://u"), F.col("user_id").cast("string"),
+                   F.lit(".example/"))
+    requested = ev.select(url.alias("url"),
+                          F.year("ts").cast("string").alias("year"))
+    users = ev.select("user_id").dropDuplicates(["user_id"]) \
+        .select(url.alias("url"), F.lit("2024").alias("year"),
+                (F.col("user_id") % 4).alias("m"))
+
+    def led(pred, status, seq):
+        return (users.where(pred)
+                .withColumn("job_id", job_id_col())
+                .withColumn("status", F.lit(status))
+                .withColumn("stage", F.lit(None).cast("string"))
+                .withColumn("seq", F.lit(seq).cast("long"))
+                .select("job_id", "url", "year", "status", "stage", "seq"))
+
+    ledger = (led(F.col("m").isin(0, 1, 2), "running", 1)
+              .unionByName(led(F.col("m") == 0, "done", 2))
+              .unionByName(led(F.col("m") == 1, "failed", 2)))
+    return pending_work(requested, ledger)
+
+
 def q_top_customers(spark, sf_dir):
     """Broadcast-joined top-10 customers by order revenue."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -770,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_exact": q_embedding_dup_pairs_exact,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "job_dedup": q_job_dedup,
         "url_canonical": q_url_canonical,
         "multimodal_image_features": q_multimodal_image_features,
         "frame_sample": q_frame_sample,
@@ -1134,6 +1167,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 10
+        """,
+        "job_dedup": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            req AS (
+              SELECT DISTINCT 'http://u' || user_id || '.example/' AS url,
+                     year(ts)::VARCHAR AS year
+              FROM events
+            ),
+            led AS (
+              SELECT 'http://u' || user_id || '.example/' AS url,
+                     '2024' AS year, 'running' AS status, 1 AS seq
+              FROM u WHERE user_id % 4 IN (0, 1, 2)
+              UNION ALL
+              SELECT 'http://u' || user_id || '.example/', '2024', 'done', 2
+              FROM u WHERE user_id % 4 = 0
+              UNION ALL
+              SELECT 'http://u' || user_id || '.example/', '2024', 'failed', 2
+              FROM u WHERE user_id % 4 = 1
+            ),
+            latest AS (
+              SELECT url, year, status FROM (
+                SELECT *, row_number() OVER (PARTITION BY url, year
+                                             ORDER BY seq DESC) AS rn
+                FROM led
+              ) WHERE rn = 1
+            ),
+            blocked AS (
+              SELECT url, year FROM latest
+              WHERE status IN ('running', 'done')
+            )
+            SELECT r.url, r.year FROM req r
+            WHERE NOT EXISTS (SELECT 1 FROM blocked b
+                              WHERE b.url = r.url AND b.year = r.year)
         """,
         "url_canonical": """
             WITH d AS (
