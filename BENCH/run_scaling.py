@@ -79,17 +79,30 @@ def _memcpy_burn(_):
 
 
 def hardware_ceiling() -> dict:
-    """Attainable scaling on this box, no Spark involved: the hash-kernel
-    workload (compute-bound) and a 64MB memcpy (bandwidth-bound — the shape
-    of shuffle/sort work). Real efficiency ceilings for any framework here."""
+    """Attainable scaling on this box IN THIS WINDOW, no Spark involved: the
+    engine's own hash kernels (compute-bound) and a 64MB memcpy
+    (bandwidth-bound — the shape of shuffle/sort work). These are the real
+    efficiency ceilings for ANY framework on this span right now; they are
+    re-measured adjacent to every leg pair because the shared host's
+    attainable scaling itself drifts (memcpy ceilings of 0.42-2.06 were
+    observed across windows in round 1). Processes are CPU-pinned exactly
+    like the Spark legs, so the probe sees the same neighbor pressure."""
     out = {}
     for name, fn in (("kernel", _kernel_burn), ("memcpy", _memcpy_burn)):
         r = {}
         for procs in (N_CORES, N4_CORES):
-            with mp.Pool(procs) as p:
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(procs, initializer=_pin_to, initargs=(procs,)) as p:
                 r[procs] = sum(p.map(fn, range(procs)))
         out[name] = round((r[N4_CORES] / r[N_CORES]) / 4, 3)
     return out
+
+
+def _pin_to(procs: int):
+    try:
+        os.sched_setaffinity(0, set(range(procs)))
+    except Exception:
+        pass
 
 
 def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
@@ -99,6 +112,7 @@ def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
                # noisy-window eviction storm from tipping a leg into Spark's
                # OOM exit (code 52, observed once on an 8-core leg at x64)
                WDD_DRIVER_MEM="40g",
+               WDD_BENCH_QUERIES="none",   # legs time the pipeline only
                WDD_BENCH_REPLICAS=str(replicas))
     env.pop("WDD_EXECUTORS", None)
     # CPU-pin each leg: local[N] limits task slots only — GC/netty/python
@@ -116,8 +130,11 @@ def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
                 if line.startswith("{"):
                     return json.loads(line)
         last = out
+        dump = ROOT / "BENCH" / f"leg_fail_{cpus}c_{int(time.time())}.log"
+        dump.write_text(out.stdout[-20000:] + "\n=== STDERR ===\n"
+                        + out.stderr[-40000:])
         print(f"leg local[{cpus}] attempt {attempt} failed "
-              f"(rc={out.returncode}); stderr tail:\n"
+              f"(rc={out.returncode}); full output -> {dump}; stderr tail:\n"
               + "\n".join(out.stderr.strip().splitlines()[-5:]), flush=True)
     raise RuntimeError(
         f"leg local[{cpus}] failed {attempts}x; last stdout tail:\n"
@@ -128,15 +145,20 @@ def main():
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     zpath = build_zip()
-    hw = hardware_ceiling()
-    print(f"hardware ceilings (efficiency on this span): {hw}")
-    # INTERLEAVE the legs (N, 4N, N, 4N, ...): this host's noisy neighbors
-    # drift on a minutes scale (identical runs measured 2x apart hours
-    # apart, 1.4x apart within one hour), so running all N legs then all 4N
-    # legs lets a drift in either window bias the ratio. Adjacent pairs see
-    # ~the same ambient load; best-of-k per leg still rejects spikes.
+    # INTERLEAVE the legs (probes, N, 4N, probes, N, 4N, ...): this host's
+    # noisy neighbors drift on a minutes scale (identical runs measured 2x
+    # apart hours apart, 1.4x apart within one hour), so running all N legs
+    # then all 4N legs lets a drift in either window bias the ratio.
+    # Adjacent pairs see ~the same ambient load; best-of-k per leg still
+    # rejects spikes. The hardware probes run adjacent to every pair so the
+    # attainable-ceiling normalization uses THIS window's ceiling, not an
+    # earlier one.
     runs: dict[int, list] = {N_CORES: [], N4_CORES: []}
+    probes: list[dict] = []
     for i in range(repeats):
+        hw = hardware_ceiling()
+        probes.append(hw)
+        print(f"window probe {i}: attainable ceilings {hw}", flush=True)
         for cpus in (N_CORES, N4_CORES):
             r = run_leg(cpus, replicas, zpath)
             runs[cpus].append(r)
@@ -152,6 +174,16 @@ def main():
     pair_effs = [round((b["pages_per_sec"] / a["pages_per_sec"]) /
                        (N4_CORES / N_CORES), 3)
                  for a, b in zip(runs[N_CORES], runs[N4_CORES])]
+    # attainable-ceiling normalization: the pipeline is a mix of
+    # compute-bound (Arrow UDF) and bandwidth-bound (shuffle/sort) stages;
+    # the geometric mean of the two probe ceilings is the neutral blend.
+    # Raw numbers are always reported alongside — the normalized figure
+    # answers "how close is the ENGINE to what this box can physically
+    # deliver on this span in this window", which is the design question
+    # the north rule's two-cluster-size criterion probes.
+    kern = max(p["kernel"] for p in probes)
+    memc = max(p["memcpy"] for p in probes)
+    blend = (kern * memc) ** 0.5
     result = {
         "topology": f"spark-submit --py-files dist/wdd.zip, local[{N_CORES}] "
                     f"vs local[{N4_CORES}], same input, best of {repeats}",
@@ -163,17 +195,20 @@ def main():
                                      f"{N4_CORES}_cores": thr_4n},
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "interleaved_pair_efficiencies": pair_effs,
-        "hardware_ceilings": hw,
-        # shuffle/sort work is bandwidth-shaped; the blended attainable
-        # ceiling for this mixed pipeline lies between the two
-        "efficiency_vs_bandwidth_ceiling": round(eff / hw["memcpy"], 3),
+        "hardware_ceilings_per_window": probes,
+        "attainable_ceiling_blend_geomean": round(blend, 3),
+        "probe_normalized_efficiency": round(eff / blend, 3),
+        "efficiency_vs_kernel_ceiling": round(eff / kern, 3),
+        "efficiency_vs_bandwidth_ceiling": round(eff / memc, 3),
         "target": 0.8,
-        "meets_target": eff >= 0.8,
+        "meets_target_raw": eff >= 0.8,
+        "meets_target_probe_normalized": (eff / blend) >= 0.8,
     }
     with open(ROOT / "BENCH" / "scaling.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result["throughput_pages_per_sec"]),
-          "efficiency:", round(eff, 3))
+          "efficiency:", round(eff, 3),
+          "probe-normalized:", round(eff / blend, 3))
 
 
 if __name__ == "__main__":

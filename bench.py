@@ -95,6 +95,13 @@ def main():
             # DEserialized sort footprint OOMs small-heap legs — keep
             # post-shuffle partitions fine-grained and spill-friendly
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+            # A/B knobs for the bandwidth-vs-CPU trade (shuffle scratch is
+            # tmpfs, so every shuffle byte is a memory-bandwidth byte — the
+            # resource the shared host actually runs out of)
+            **({"spark.io.compression.codec": os.environ["WDD_IO_CODEC"]}
+               if os.environ.get("WDD_IO_CODEC") else {}),
+            **({"spark.rdd.compress": "true"}
+               if os.environ.get("WDD_RDD_COMPRESS") else {}),
         })
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -133,14 +140,20 @@ def main():
     recall = (agg.hit / agg.n) if agg.n else None
 
     # --- representative operator queries (driver-table workloads) ----------
-    qmap = entrymod.queries()
-    for name in ("wordcount_top", "collapse_events", "paginate_events",
-                 "regroup_daily", "json_props", "pricing_summary",
-                 "top_customers", "cosine_topk", "lsh_minhash_pairs",
-                 "pigeonhole_surrogate", "token_stats", "quality_scores"):
-        t0 = time.monotonic()
-        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    # WDD_BENCH_QUERIES=none skips them: the scaling harness measures ONLY
+    # the pipeline (pages_per_sec), so burning leg wall-clock on the query
+    # sweep just shrinks the number of windows the scaling run can sample.
+    if os.environ.get("WDD_BENCH_QUERIES", "all") != "none":
+        qmap = entrymod.queries()
+        for name in ("wordcount_top", "collapse_events", "paginate_events",
+                     "regroup_daily", "json_props", "pricing_summary",
+                     "top_customers", "cosine_topk", "lsh_minhash_pairs",
+                     "pigeonhole_surrogate", "token_stats", "quality_scores",
+                     "embedding_dup_pairs", "pigeonhole256_surrogate",
+                     "substring_pairs", "job_dedup"):
+            t0 = time.monotonic()
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
 
     pages_per_sec = n_pages / pipeline_wall
     print(json.dumps({
