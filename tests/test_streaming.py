@@ -36,12 +36,19 @@ def test_incremental_ingest_matches_batch(spark, sf_dir, tmp_path):
 
 
 def _write_event_file(path, rows, spark, mtime):
+    """One bare parquet FILE at `path` (the file stream source does not
+    recurse into per-write subdirectories), mtime pinned so
+    maxFilesPerTrigger=1 drains the files in deterministic order."""
     import os
+    import shutil
+    import tempfile
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
-    df.coalesce(1).write.mode("overwrite").parquet(str(path))
-    for root, _, files in os.walk(path):
-        for f in files:
-            os.utime(os.path.join(root, f), (mtime, mtime))
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(td + "/p")
+        part = next(f for f in os.listdir(td + "/p")
+                    if f.endswith(".parquet"))
+        shutil.copy(os.path.join(td, "p", part), str(path))
+    os.utime(path, (mtime, mtime))
 
 
 def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
@@ -55,11 +62,16 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
     t = lambda h, m: dt(2024, 3, 1, h, m)
-    _write_event_file(src / "f1", [(1, t(12, 0), 1.0), (1, t(12, 5), 1.0),
-                                   (1, t(12, 40), 1.0)], spark, 1000)
-    _write_event_file(src / "f2", [(1, t(12, 3), 1.0),    # LATE: wm=12:30
-                                   (1, t(13, 20), 1.0)], spark, 2000)
-    _write_event_file(src / "f3", [(1, t(14, 0), 1.0)], spark, 3000)
+    _write_event_file(src / "f1.parquet",
+                      [(1, t(12, 0), 1.0), (1, t(12, 5), 1.0),
+                       (1, t(12, 40), 1.0)], spark, 1000)   # wm -> 12:30
+    _write_event_file(src / "f2.parquet",
+                      [(1, t(13, 20), 1.0)], spark, 2000)   # wm -> 13:10
+    # f3's 12:03 row is LATE by two batches: its window [12:00,12:10) was
+    # finalized+evicted when the watermark passed 12:30, so the stateful op
+    # must DROP it (not re-open the window) — the state-eviction contract.
+    _write_event_file(src / "f3.parquet",
+                      [(1, t(12, 3), 1.0), (1, t(14, 0), 1.0)], spark, 3000)
     stream = (spark.readStream
               .schema("user_id long, ts timestamp, value double")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
@@ -70,8 +82,9 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
              "checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    got = {(r.win_start.hour, r.win_start.minute): r.n_events
-           for r in spark.sql("SELECT * FROM winagg").collect()}
+    rows = spark.sql("SELECT * FROM winagg").collect()
+    got = {(r.win_start.hour, r.win_start.minute): r.n_events for r in rows}
+    assert len(rows) == 3             # no duplicate/reopened windows
     assert got[(12, 0)] == 2          # late 12:03 row NOT counted
     assert got[(12, 40)] == 1 and got[(13, 20)] == 1
     assert (14, 0) not in got         # final watermark never passed 14:10
@@ -87,11 +100,11 @@ def test_sessionize_stateful_across_batches(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
     t = lambda h, m: dt(2024, 3, 1, h, m)
-    _write_event_file(src / "f1", [(1, t(12, 0), 1.0), (1, t(12, 2), 1.0),
+    _write_event_file(src / "f1.parquet", [(1, t(12, 0), 1.0), (1, t(12, 2), 1.0),
                                    (2, t(12, 0), 1.0)], spark, 1000)
-    _write_event_file(src / "f2", [(1, t(12, 30), 1.0),
+    _write_event_file(src / "f2.parquet", [(1, t(12, 30), 1.0),
                                    (9, t(15, 0), 1.0)], spark, 2000)
-    _write_event_file(src / "f3", [(9, t(15, 30), 1.0)], spark, 3000)
+    _write_event_file(src / "f3.parquet", [(9, t(15, 30), 1.0)], spark, 3000)
     stream = (spark.readStream
               .schema("user_id long, ts timestamp, value double")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
@@ -107,4 +120,8 @@ def test_sessionize_stateful_across_batches(spark, tmp_path):
     assert (1, "12:00", "12:02", 2) in got   # closed by the 12:30 gap
     assert (1, "12:30", "12:30", 1) in got   # flushed by event-time timeout
     assert (2, "12:00", "12:00", 1) in got   # flushed by event-time timeout
-    assert not any(u == 9 for (u, *_rest) in got)  # still open at drain end
+    assert (9, "15:00", "15:00", 1) in got   # closed by the 15:30 gap
+    # user 9's session opened at 15:30 is still inside the watermark
+    # (timeout 15:40 > final wm 15:00) -> open, unemitted at drain end
+    assert not any(u == 9 and s == "15:30" for (u, s, *_rest) in got)
+    assert len(got) == 4
