@@ -175,3 +175,18 @@ def test_url_is_valid(url, result):
 def test_surt_golden():
     assert surt('http://example.com') == 'com,example)/'
     assert surt('http://www.example.com/Path?b=2&a=1') == 'com,example)/path?a=1&b=2'
+
+
+@pytest.mark.parametrize('url,result', [
+    # tldextract-parity edges via the offline PSL snapshot (psl.py):
+    ('http://co.uk/', False),             # bare public suffix - no domain
+    ('http://foo.co.uk/', True),
+    ('http://sub.foo.com.au/x', True),
+    ('http://com.au', False),
+    ('http://foo.notarealtld/', False),   # unknown suffix -> suffix=''
+    ('http://192.168.0.1/', False),
+    ('http://news.bbc.co.uk', True),
+    ('http://x.gov.uk', True),
+])
+def test_url_is_valid_psl_edges(url, result):
+    assert url_is_valid(url) == result

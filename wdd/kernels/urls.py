@@ -6,11 +6,14 @@ percent-escapes intact.
 
 `url_is_valid` reproduces the reference's semantics (EMAIL_RE reject +
 tldextract domain/suffix non-empty) without the tldextract package: a URL is
-valid iff it is non-empty, not email-shaped, its host has a registrable domain
-label and an alphabetic suffix of length >= 2, and any explicit scheme is an
-http(s)/ftp-style netloc scheme (tldextract yields empty domain for opaque
-schemes like tel: / torrent:). Pinned by the reference's parametrized fixture
-(tests/test_util.py:64-73).
+valid iff it is non-empty, not email-shaped, its host has a registrable
+domain under a KNOWN public suffix (wdd/kernels/psl.py — a compact offline
+publicsuffix snapshot: all 2-letter ccTLDs, legacy + common new gTLDs, and
+the common two-label suffixes, so `http://co.uk/` has no registrable domain
+and `http://foo.notarealtld` has no known suffix — both invalid, matching
+tldextract), and any explicit scheme is an http(s)/ftp-style netloc scheme
+(tldextract yields empty domain for opaque schemes like tel: / torrent:).
+Pinned by the reference's parametrized fixture (tests/test_util.py:64-73).
 """
 
 from __future__ import annotations
@@ -55,10 +58,7 @@ def url_is_valid(url: str) -> bool:
             host = (parts.path or "").split("/")[0]
         if not host:
             return False
-        labels = [l for l in host.lower().strip(".").split(".") if l]
-        if len(labels) < 2:
-            return False
-        suffix, domain = labels[-1], labels[-2]
-        return len(suffix) >= 2 and suffix.isalpha() and domain != ""
+        from wdd.kernels.psl import has_registrable_domain
+        return has_registrable_domain(host)
     except (ValueError, AttributeError):
         return False
