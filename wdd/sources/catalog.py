@@ -38,15 +38,24 @@ class CatalogWriter:
     root: str                       # warehouse path (parquet) / catalog ns (iceberg)
     cfg: WddConfig = DEFAULT
 
+    def iceberg_writer(self, df: DataFrame, name: str,
+                       bucket_col: str = "url"):
+        """The DataFrameWriterV2 for the Iceberg path — CREATE TABLE ...
+        USING iceberg PARTITIONED BY (bucket(N, url)). Building this chain
+        uses only Spark-core APIs (writeTo + the bucket transform), so it is
+        constructible — and dry-run-testable — WITHOUT the Iceberg jar; only
+        executing createOrReplace() needs the catalog on the classpath
+        (tests/test_catalog.py proves the failure is 'catalog not found',
+        never a malformed write plan)."""
+        return (df.writeTo(f"{self.root}.{name}")
+                .partitionedBy(F.bucket(self.cfg.url_buckets, bucket_col)))
+
     def write_bucketed(self, df: DataFrame, name: str,
                        bucket_col: str = "url") -> None:
         """Write `df` bucketed by hash(bucket_col) into cfg.url_buckets."""
         if iceberg_available(self.spark):
-            # CREATE TABLE ... USING iceberg PARTITIONED BY (bucket(N, url));
-            # then append. Exercised only when the runtime jar is present.
-            df.writeTo(f"{self.root}.{name}") \
-                .partitionedBy(F.bucket(self.cfg.url_buckets, bucket_col)) \
-                .createOrReplace()
+            # Exercised only when the runtime jar is present.
+            self.iceberg_writer(df, name, bucket_col).createOrReplace()
             return
         out = df.withColumn(
             "bucket", F.pmod(F.xxhash64(bucket_col),
