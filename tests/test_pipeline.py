@@ -135,3 +135,20 @@ def test_pipeline_f256_end_to_end(spark, sf_dir):
     c256 = {(r.page_id, r.cluster_id) for r in res.clusters.collect()}
     c64 = {(r.page_id, r.cluster_id) for r in res64.clusters.collect()}
     assert len(c256 & c64) / len(c64) > 0.95
+
+
+def test_lazy_metrics_observe_rows(spark, sf_dir):
+    """A3 (reference progress meta, discover.py:222-227): in lazy mode the
+    stage row counts arrive as observe() side-cars of the final action —
+    no extra count() jobs — and harvest_observations() fills them in."""
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    res = run_dedup_pipeline(spark, pages, eager_stages=False)
+    assert all(r.rows_out == -1 for r in res.metrics.records)
+    n_pages = res.clusters.count()            # the action
+    filled = res.metrics.harvest_observations()
+    assert filled > 0
+    by_stage = {r.stage: r.rows_out for r in res.metrics.records}
+    assert by_stage["prep"] >= n_pages        # every page flowed through prep
+    assert by_stage["clusters"] == n_pages
+    mdf = res.metrics.to_df(spark)
+    assert mdf.where("rows_out >= 0").count() >= filled

@@ -31,11 +31,41 @@ class StageRecord:
 @dataclass
 class MetricsCollector:
     records: list[StageRecord] = field(default_factory=list)
+    observations: dict = field(default_factory=dict)   # stage -> Observation
 
     def record(self, stage: str, rows_out: int, wall_ms: float,
                partitions: int, checkpoint_path: str | None = None):
         self.records.append(StageRecord(stage, int(rows_out), int(wall_ms),
                                         int(partitions), checkpoint_path))
+
+    def observe(self, stage: str, df: DataFrame) -> DataFrame:
+        """Attach a zero-cost row counter to a LAZY stage (A3, reference
+        discover.py:222-227 progress): `df.observe` accumulates the count
+        as a side-car metric of whatever action later materializes the
+        plan — no extra count() job over unmaterialized lineage."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+        obs = Observation(f"wdd_{stage}")
+        self.observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+
+    def harvest_observations(self) -> int:
+        """Fill rows_out for lazily-observed stages whose plan has since
+        been materialized by some action. Non-blocking: a stage whose
+        observed node never ran stays at -1. Returns #stages filled."""
+        n = 0
+        for r in self.records:
+            obs = self.observations.get(r.stage)
+            if obs is None or r.rows_out >= 0:
+                continue
+            try:
+                if obs._jo.getOrEmpty().isEmpty():
+                    continue             # not materialized yet
+                r.rows_out = int(obs.get["rows_out"])
+                n += 1
+            except Exception:
+                continue                 # pre-action NPE -> not ready
+        return n
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(

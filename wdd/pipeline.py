@@ -66,6 +66,9 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             t.done(m["rows"], m["partitions"], str(store._dir(name)))
             return out
         if not eager_stages:
+            # rows_out rides the eventual action as an observe() side-car
+            # (harvest with metrics.harvest_observations() after acting)
+            df = metrics.observe(name, df)
             out = df.persist() if shared else df
             t.done(-1, -1)
             return out
