@@ -65,7 +65,11 @@ def test_precision_every_lsh_edge_is_truly_similar(pipeline_result):
     checked per-edge, not by counting clusters."""
     from wdd.kernels.minhash import shingles
     pages, truth, res = pipeline_result
-    texts = res.pages.select("page_id", "text")
+    # prep is pruned to the content column it consumes (html here); recover
+    # per-page text through the per-digest signatures table
+    texts = (res.simhashes.select("page_id", "digest")
+             .join(res.signatures.select("digest", "text"), "digest")
+             .select("page_id", "text"))
     edges = (res.candidate_pairs.where(F.col("source") == "lsh")
              .join(texts.select(F.col("page_id").alias("a"),
                                 F.col("text").alias("ta")), "a")

@@ -25,7 +25,10 @@ from wdd.config import DEFAULT
 # the consumer (wdd.pipeline, or any caller that materializes the pairs)
 # calls release_stage_caches() once the pair frame is materialized so the
 # block-manager memory stops competing with shuffle memory for the rest of
-# the job (round-1 verdict "What's wrong" #5).
+# the job (round-1 verdict "What's wrong" #5). Registry is session-global:
+# two pipelines interleaving in one session could release each other's
+# caches — harmless (an unpersisted cache recomputes) but wasteful; run
+# concurrent pipelines in separate sessions.
 _PERSISTED: list[DataFrame] = []
 
 

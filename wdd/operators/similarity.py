@@ -152,6 +152,8 @@ def _make_multi_bucket_udf(dim: int, bits: int, tables: int):
 
     @pandas_udf(ArrayType(LongType()))
     def multi_bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (M @ H) > 0                                # (n, tables*bits)
         codes = signs.reshape(len(vecs), tables, bits) @ weights  # (n, tables)

@@ -77,8 +77,16 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         return out
 
     # -- stage: prep (digest + page identity; narrow, no shuffle) ----------
+    # Prune to exactly the columns downstream stages read: the prep frame is
+    # cached (every stage re-reads its ROW-format blocks, where column
+    # pruning cannot help), so an unused payload column — html when text is
+    # precomputed, text when extracting from html — would double the bytes
+    # every consumer decompresses. At 100 TB the cache IS the bandwidth
+    # budget.
+    content_col = "text" if use_precomputed_text else "html"
     with stage_timer(metrics, "prep") as t:
-        prepped = D.with_page_id(D.with_digest(pages))
+        prepped = D.with_page_id(D.with_digest(pages)) \
+            .select("url", "warc_ts", "digest", "page_id", content_col)
         prepped = mat("prep", prepped, t, shared=True)
 
     # The expensive-UDF stages must stay wide: AQE coalesces the small
