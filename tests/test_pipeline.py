@@ -156,3 +156,19 @@ def test_lazy_metrics_observe_rows(spark, sf_dir):
     assert by_stage["clusters"] == n_pages
     mdf = res.metrics.to_df(spark)
     assert mdf.where("rows_out >= 0").count() >= filled
+
+
+def test_pipeline_precomputed_text_only_table(spark, sf_dir):
+    """A table with NO html column (input_hint allows text-only corpora)
+    runs the whole pipeline via use_precomputed_text: digest identity comes
+    from text, and cluster labels agree with the html run on the same
+    corpus (extraction is the identity on these pages: text == extract(html),
+    the invariant test_pages_text_invariant pins)."""
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    text_only = pages.select("url", "warc_ts", "text", "lang")
+    res = run_dedup_pipeline(spark, text_only, use_precomputed_text=True,
+                             eager_stages=False)
+    res_html = run_dedup_pipeline(spark, pages, eager_stages=False)
+    a = {(r.page_id, r.cluster_id) for r in res.clusters.collect()}
+    b = {(r.page_id, r.cluster_id) for r in res_html.clusters.collect()}
+    assert len(a & b) / len(b) > 0.99

@@ -83,9 +83,11 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # precomputed, text when extracting from html — would double the bytes
     # every consumer decompresses. At 100 TB the cache IS the bandwidth
     # budget.
+    # digest identity comes from the content column actually processed, so a
+    # text-only table (input_hint allows html-less pages) runs end-to-end
     content_col = "text" if use_precomputed_text else "html"
     with stage_timer(metrics, "prep") as t:
-        prepped = D.with_page_id(D.with_digest(pages)) \
+        prepped = D.with_page_id(D.with_digest(pages, content_col=content_col)) \
             .select("url", "warc_ts", "digest", "page_id", content_col)
         prepped = mat("prep", prepped, t, shared=True)
 
