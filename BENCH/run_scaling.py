@@ -108,10 +108,10 @@ def _pin_to(procs: int):
 def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
-               # single JVM at a time on a 125 GiB box; a roomy heap keeps a
+               # single JVM at a time on a 125 GiB box; a roomy heap (56g of the 125 GiB box, one JVM at a time) keeps a
                # noisy-window eviction storm from tipping a leg into Spark's
                # OOM exit (code 52, observed once on an 8-core leg at x64)
-               WDD_DRIVER_MEM="40g",
+               WDD_DRIVER_MEM="56g",
                WDD_BENCH_QUERIES="none",   # legs time the pipeline only
                WDD_BENCH_REPLICAS=str(replicas))
     env.pop("WDD_EXECUTORS", None)
