@@ -184,9 +184,9 @@ def main():
         "leg_4N": runs[N4_CORES][best_pair_i],
         "window_probes": probes[best_pair_i],
         "probe_normalized": round(pair_effs[best_pair_i] /
-                                  ((probes[best_pair_i]["kernel"]
-                                    * probes[best_pair_i]["memcpy"]) ** 0.5),
-                                  3),
+                                  ((min(1.0, probes[best_pair_i]["kernel"])
+                                    * min(1.0, probes[best_pair_i]["memcpy"]))
+                                   ** 0.5), 3),
     }
     # attainable-ceiling normalization: the pipeline is a mix of
     # compute-bound (Arrow UDF) and bandwidth-bound (shuffle/sort) stages;
@@ -195,8 +195,12 @@ def main():
     # answers "how close is the ENGINE to what this box can physically
     # deliver on this span in this window", which is the design question
     # the north rule's two-cluster-size criterion probes.
-    kern = max(p["kernel"] for p in probes)
-    memc = max(p["memcpy"] for p in probes)
+    # clamp at 1.0: a probe ceiling above 1 means the 2-proc BASELINE got
+    # robbed by neighbors mid-probe (memcpy "ceilings" up to 36x were
+    # observed in storm windows), not that the box scales superlinearly —
+    # normalizing by >1 would understate the engine.
+    kern = min(1.0, max(p["kernel"] for p in probes))
+    memc = min(1.0, max(p["memcpy"] for p in probes))
     blend = (kern * memc) ** 0.5
     result = {
         "topology": f"spark-submit --py-files dist/wdd.zip, local[{N_CORES}] "
