@@ -486,7 +486,10 @@ def _media(spark, sf_dir):
     return d.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
+        # every 41st row has a NULL payload: negative control for the
+        # never-throw guards in image_features/sample_frames/audio_chunks
+        F.when(F.col("doc_id") % 41 == 0, F.lit(None).cast("binary"))
+         .otherwise(F.encode("text", "UTF-8")).alias("payload"),
         F.lit(8).cast("int").alias("width"),
         F.lit(8).cast("int").alias("height"),
         F.lit(16000).cast("int").alias("sample_rate"),
@@ -588,22 +591,41 @@ def q_top_customers(spark, sf_dir):
 
 def _surrogate_sig_col(pivot: int | None, suffix: str):
     """128-slot surrogate MinHash signature, identical in Spark and DuckDB:
-    slot i = 28-bit int from hex digits [(i%4)*7, (i%4)*7+7) of
-    md5(src':'(i//4)) — one md5 feeds 4 slots, quartering the generated
-    code and hash work vs one-md5-per-slot (measured 19.6s -> ~6s at
-    sf0.1). Slots >= pivot derive from text||suffix instead of text, so a
-    (base, variant) pair agrees on exactly the first `pivot` slots —
-    planting full-band, partial-band and no-band structure for the LSH
-    band join (each slot picks its source independently, so non-group-
-    aligned pivots still differ within the shared md5 group)."""
-    def slot(i: int):
-        src = F.col("text") if (pivot is None or i < pivot) \
-            else F.concat(F.col("text"), F.lit(suffix))
-        return F.conv(
-            F.substring(F.md5(F.concat(src, F.lit(f":{i // 4}"))),
-                        (i % 4) * 7 + 1, 7),
-            16, 10).cast("int")
-    return F.array(*[slot(i) for i in range(128)])
+    slot i = 12-bit int from hex digits [(i%8)*3, (i%8)*3+3) of
+    md5(src':'(i//8)) — one md5 feeds 8 slots (16 md5/row; the round-1
+    form was one md5 PER slot, round-2 quartered it to 32, this halves it
+    again per the round-2 verdict: the oracle corpus generation, not the
+    operator under test, dominated the bench at 13.6 s). 12-bit slots
+    random-agree at 2^-12, so a junk full-band collision is 2^-48/band —
+    the planted est margins (1.0 / 0.8125 / 0.0625 vs the 0.7 threshold)
+    are untouched. Slots >= pivot derive from text||suffix instead of
+    text, so a (base, variant) pair agrees on exactly the first `pivot`
+    slots — planting full-band, partial-band and no-band structure for the
+    LSH band join (each slot picks its source independently, so non-group-
+    aligned pivots still differ within the shared md5 group).
+
+    The 128 slots are built by a runtime `transform` over a 16-element md5
+    array rather than 128 unrolled expressions: with `documents` fixed at
+    500 rows the query's cost was ~all plan-analysis + codegen of the
+    4-branch x 128-expression tree, not compute.
+    """
+    def md5s(src):
+        return F.array(*[F.md5(F.concat(src, F.lit(f":{g}")))
+                         for g in range(16)])
+    mb = md5s(F.col("text"))
+    ms = md5s(F.concat(F.col("text"), F.lit(suffix))) \
+        if pivot is not None else None
+
+    def slot(i):
+        g = (i / F.lit(8)).cast("int") + 1
+        if pivot is None:
+            h = F.element_at(mb, g)
+        else:
+            h = F.when(i < F.lit(pivot), F.element_at(mb, g)) \
+                 .otherwise(F.element_at(ms, g))
+        return F.conv(F.substring(h, (i % 8) * 3 + 1, F.lit(3)),
+                      16, 10).cast("int")
+    return F.transform(F.sequence(F.lit(0), F.lit(127)), slot)
 
 
 def q_lsh_minhash_pairs(spark, sf_dir):
@@ -622,12 +644,14 @@ def q_lsh_minhash_pairs(spark, sf_dir):
     exactly the operator's semantics (band-hash collisions ~2^-112/pair).
     The real minhash kernel is golden-tested in tests/ and runs end-to-end
     in dedup_pipeline_clusters."""
+    from wdd.config import WddConfig
     from wdd.operators.lsh import lsh_candidates, verify_jaccard
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = docs.select("doc_id", _surrogate_sig_col(None, "").alias("signature"))
-    clone = docs.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1500000).alias("doc_id"),
-        _surrogate_sig_col(None, "").alias("signature"))
+    # clone REUSES base's computed signature frame (identical by
+    # construction) instead of re-deriving the 16 md5s per row
+    clone = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1500000).alias("doc_id"), "signature")
     near = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         _surrogate_sig_col(104, "#v").alias("signature"))
@@ -637,9 +661,19 @@ def q_lsh_minhash_pairs(spark, sf_dir):
     noband = docs.where(F.col("doc_id") % 11 == 5).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
         _surrogate_sig_col(3, "#x").alias("signature"))
+    # the corpus feeds THREE consumers (band explode + both signature-join
+    # sides of verify) — checkpoint so the md5 generation runs once, and
+    # the bench clock sees the operators, not 3x corpus synthesis
     corpus = base.unionByName(clone).unionByName(near) \
-        .unionByName(bandonly).unionByName(noband)
-    cand = lsh_candidates(corpus, id_col="doc_id", sig_col="signature")
+        .unionByName(bandonly).unionByName(noband) \
+        .localCheckpoint(eager=False)
+    # raised caps (round-2 ADVICE): the oracle enumerates ALL pairs per
+    # band group, so the star/salted-star fallback past band_group_cap/
+    # huge_group_rows must not engage at any sf (capped-path behavior is
+    # covered by pytest + the pigeonhole queries)
+    cfg = WddConfig(band_group_cap=100_000, huge_group_rows=10_000_000)
+    cand = lsh_candidates(corpus, id_col="doc_id", sig_col="signature",
+                          cfg=cfg)
     return (verify_jaccard(cand, corpus, id_col="doc_id")
             .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
                     F.round("score", 4).alias("jaccard_est")))
@@ -776,6 +810,35 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
             .where(F.col("n_pages") >= 2))
 
 
+def q_pipeline_recall(spark, sf_dir):
+    """The composed REAL-KERNEL pipeline's planted-truth recall as a green
+    CORRECTNESS row (round-2 verdict item #2): the kernels (blake2b simhash,
+    128-perm minhash, Karp-Rabin anchors) are not SQL-expressible, but the
+    planted corpus IS a pure closed-form expression of doc_id
+    (wdd/sources/pages.py:11-22), so the truth PAIR SET is SQL-derivable.
+    This runs extract -> hash -> candidates -> CC end-to-end and emits one
+    row per planted pair with same_cluster; the DuckDB oracle states the
+    expected all-true relation in closed form. A missed pair surfaces as a
+    value (false vs true) or row-count mismatch — either turns this row
+    red. Recall >= 0.99 is the north rule; planted structure is built to
+    be recall 1.0 by construction margins (FIXTURES.md §B.1)."""
+    from wdd.pipeline import run_dedup_pipeline
+    from wdd.sources.pages import synth_pages
+    pages, truth = synth_pages(spark, sf_dir, with_truth=True)
+    res = run_dedup_pipeline(spark, pages)
+    cl = res.clusters.select("url", "warc_ts", "cluster_id")
+    j = (truth
+         .join(cl.select(F.col("url").alias("url_a"),
+                         F.col("warc_ts").alias("ts_a"),
+                         F.col("cluster_id").alias("c_a")), ["url_a", "ts_a"])
+         .join(cl.select(F.col("url").alias("url_b"),
+                         F.col("warc_ts").alias("ts_b"),
+                         F.col("cluster_id").alias("c_b")), ["url_b", "ts_b"]))
+    return j.select(
+        "url_b", "kind",
+        (F.col("c_a") == F.col("c_b")).alias("same_cluster"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dedup_pipeline_clusters(spark, "/root/testdata/sf0.001")
@@ -817,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "capture_diff": q_capture_diff,
         "simhash_index_year": q_simhash_index_year,
+        "pipeline_recall": q_pipeline_recall,
         # rows-only (real hash kernels; no SQL oracle possible — see docstring)
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
     }
@@ -1236,8 +1300,8 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id,
                      list_transform(range(128), i ->
-                       ('0x' || substr(md5(text || ':' || (i // 4)),
-                        (i % 4) * 7 + 1, 7))::INT) AS sig
+                       ('0x' || substr(md5(text || ':' || (i // 8)),
+                        (i % 8) * 3 + 1, 3))::INT) AS sig
               FROM documents
             ),
             near AS (
@@ -1245,7 +1309,7 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(range(128), i ->
                        ('0x' || substr(md5((CASE WHEN i < 104 THEN text
                                             ELSE text || '#v' END)
-                                           || ':' || (i // 4)), (i % 4) * 7 + 1, 7))::INT) AS sig
+                                           || ':' || (i // 8)), (i % 8) * 3 + 1, 3))::INT) AS sig
               FROM documents WHERE doc_id % 7 = 0
             ),
             bandonly AS (
@@ -1253,7 +1317,7 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(range(128), i ->
                        ('0x' || substr(md5((CASE WHEN i < 8 THEN text
                                             ELSE text || '#w' END)
-                                           || ':' || (i // 4)), (i % 4) * 7 + 1, 7))::INT) AS sig
+                                           || ':' || (i // 8)), (i % 8) * 3 + 1, 3))::INT) AS sig
               FROM documents WHERE doc_id % 13 = 3
             ),
             noband AS (
@@ -1261,7 +1325,7 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(range(128), i ->
                        ('0x' || substr(md5((CASE WHEN i < 3 THEN text
                                             ELSE text || '#x' END)
-                                           || ':' || (i // 4)), (i % 4) * 7 + 1, 7))::INT) AS sig
+                                           || ':' || (i // 8)), (i % 8) * 3 + 1, 3))::INT) AS sig
               FROM documents WHERE doc_id % 11 = 5
             ),
             corpus AS (
@@ -1352,13 +1416,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_image_features": """
             SELECT doc_id AS media_id, 8::BIGINT AS width, 8::BIGINT AS height,
-                   16::BIGINT AS feature_dim, true AS decode_ok
+                   16::BIGINT AS feature_dim,
+                   (doc_id % 41 <> 0) AS decode_ok
             FROM documents WHERE doc_id % 3 = 0
         """,
         "frame_sample": """
             SELECT doc_id AS media_id,
                    unnest(range(0, (doc_id % 50)::BIGINT, 10)) AS frame_idx
-            FROM documents WHERE doc_id % 3 = 1
+            FROM documents WHERE doc_id % 3 = 1 AND doc_id % 41 <> 0
         """,
         "audio_chunks": """
             SELECT media_id, (s // 4000)::BIGINT AS chunk_idx,
@@ -1369,7 +1434,32 @@ def oracle_sql() -> dict[str, str]:
                      octet_length(encode(text))::BIGINT AS n,
                      unnest(range(0, octet_length(encode(text))::BIGINT,
                                   4000)) AS s
-              FROM documents WHERE doc_id % 3 = 2
+              FROM documents WHERE doc_id % 3 = 2 AND doc_id % 41 <> 0
             )
+        """,
+        # the planted corpus is a closed-form expression of doc_id
+        # (wdd/sources/pages.py), so the truth PAIR SET — and the expected
+        # all-true recall relation — is SQL-derivable even though the
+        # pipeline's hash kernels are not
+        "pipeline_recall": """
+            WITH d AS (SELECT doc_id AS did, text FROM documents),
+            pairs AS (
+              SELECT did, 'exact' AS kind, '/doc/' AS pfx
+              FROM d WHERE did % 7 = 0
+              UNION ALL
+              SELECT did, 'simnear', '/sim/' FROM d WHERE did % 13 = 0
+              UNION ALL
+              SELECT did, 'near', '/near/' FROM d
+              WHERE did % 5 = 0 AND len(string_split(text, ' ')) >= 40
+              UNION ALL
+              SELECT did, 'substring', '/sub/' FROM d
+              WHERE did % 11 = 0 AND length(text) >= 180
+            )
+            SELECT 'http://'
+                   || CASE WHEN did % 4 = 0 THEN 'hot.example'
+                      ELSE 'dom' || (did % 50)::VARCHAR || '.example' END
+                   || pfx || did::VARCHAR AS url_b,
+                   kind, true AS same_cluster
+            FROM pairs
         """,
     }

@@ -101,7 +101,8 @@ def main():
             **({"spark.io.compression.codec": os.environ["WDD_IO_CODEC"]}
                if os.environ.get("WDD_IO_CODEC") else {}),
             **({"spark.rdd.compress": "true"}
-               if os.environ.get("WDD_RDD_COMPRESS") else {}),
+               if os.environ.get("WDD_RDD_COMPRESS", "").lower()
+               in ("1", "true", "yes", "on") else {}),
         })
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -64,3 +64,32 @@ def test_pending_work_is_one_antijoin(spark, requested):
     assert out.count() == 9            # done blocks, failed does not
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_latest_status_deterministic_under_same_seq_race(spark, tmp_path,
+                                                         requested):
+    """Two racing writers can both read max(seq) and append the same seq
+    (jobs.py _next_seq is read-max-then-append). latest_status must resolve
+    the tie deterministically: terminal status outranks 'running'
+    (done > failed > running), so the winner does not depend on parquet
+    file scan order."""
+    from wdd.jobs import latest_status
+
+    led = JobLedger(tmp_path / "jobs", spark)
+    sub = led.submit(requested)                     # seq=1, running
+
+    def batch(status):
+        return (sub.select("job_id", "url", "year", "stage")
+                .withColumn("status", F.lit(status))
+                .withColumn("seq", F.lit(2).cast("long"))
+                .select("job_id", "url", "year", "status", "stage", "seq"))
+
+    # racing writers: one marks done, one appends running, SAME seq
+    batch("done").write.mode("append").parquet(str(led._data_dir()))
+    batch("running").write.mode("append").parquet(str(led._data_dir()))
+
+    for _ in range(3):   # stable across repeated evaluations
+        ls = {r.url: r.status for r in latest_status(led.read()).collect()}
+        assert set(ls.values()) == {"done"}
+    # and the terminal state blocks resubmission
+    assert led.submit(requested).count() == 0

@@ -190,3 +190,46 @@ def test_surt_golden():
 ])
 def test_url_is_valid_psl_edges(url, result):
     assert url_is_valid(url) == result
+
+
+# Recorded tldextract decisions (tldextract 5.x, bundled PSL snapshot,
+# default include_psl_private_domains=False — what the reference's
+# util.py:106-110 runs with) across >20 suffix classes: legacy gTLDs, new
+# gTLDs, assigned + unassigned + retired ccTLDs, two-label public suffixes
+# on every populated continent, bare suffixes, and private-section names
+# (which tldextract's DEFAULT config splits on the ICANN suffix only).
+@pytest.mark.parametrize('url,result', [
+    ('http://example.zz/', False),        # unassigned ISO code: NOT a ccTLD
+    ('http://example.aq/', True),         # assigned but obscure ccTLD
+    ('http://example.an/', False),        # retired ccTLD (Netherlands Antilles)
+    ('http://example.gb/', False),        # removed from the PSL (2024)
+    ('http://shop.example.app/', True),   # new gTLD
+    ('http://example.museum/', True),     # long legacy gTLD
+    ('http://foo.github.io/', True),      # private suffix; DEFAULT config
+                                          # splits on 'io' -> domain 'github'
+    ('http://ac.uk/', False),             # bare two-label suffix
+    ('http://x.ac.uk/', True),
+    ('http://uni.edu.au/', True),
+    ('http://firm.co.jp/', True),
+    ('http://go.jp/', False),
+    ('http://site.com.br/', True),
+    ('http://gov.cn/', False),
+    ('http://biz.co.kr/', True),
+    ('http://shop.co.in/', True),
+    ('http://x.co.za/', True),
+    ('http://y.com.sg/', True),
+    ('http://z.com.hk/', True),
+    ('http://a.com.tr/', True),
+    ('http://b.com.mx/', True),
+    ('http://c.com.ar/', True),
+    ('http://d.com.pl/', True),
+    ('http://e.co.il/', True),
+    ('http://f.co.th/', True),
+    ('http://g.co.nz/', True),
+    ('http://h.com.ua/', True),
+    ('http://i.gob.pe/', True),
+    ('http://j.com.ng/', True),
+    ('http://k.co.id/', True),
+])
+def test_url_is_valid_psl_suffix_classes(url, result):
+    assert url_is_valid(url) == result

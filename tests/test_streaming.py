@@ -125,3 +125,71 @@ def test_sessionize_stateful_across_batches(spark, tmp_path):
     # (timeout 15:40 > final wm 15:00) -> open, unemitted at drain end
     assert not any(u == 9 and s == "15:30" for (u, s, *_rest) in got)
     assert len(got) == 4
+
+
+def test_incremental_ingest_f256_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming signature stage at the reference's PROD width (f=256,
+    conf.yml.example:2): wide sim_parts column end-to-end, value-identical
+    to the batch-path signature stage."""
+    from wdd.config import WddConfig
+    from wdd.streaming.ingest import _signature_batch
+
+    cfg = WddConfig(simhash_size=256)
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    pages_dir = str(tmp_path / "pages")
+    pages.limit(40).write.parquet(pages_dir)
+
+    run_incremental_simhash(spark, pages_dir, str(tmp_path / "out"),
+                            str(tmp_path / "ckpt"), cfg=cfg)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert set(got.columns) == {"url", "warc_ts", "digest", "page_id",
+                                "sim_parts", "signature"}
+    rows = got.collect()
+    assert rows and all(len(r.sim_parts) == 4 for r in rows)  # 4x64-bit words
+
+    batch = _signature_batch(spark.read.parquet(pages_dir), cfg)
+    b = {r.page_id: tuple(r.sim_parts) for r in batch.collect()}
+    s = {r.page_id: tuple(r.sim_parts) for r in rows}
+    assert b == s
+
+
+def test_streaming_ledger_reconcile_crash_resume(spark, tmp_path):
+    """Crash-resume through the streaming sink: a run that died after
+    submitting its jobs but before the stage manifest leaves 'running'
+    rows; the next drain writes the manifest and reconcile converges the
+    ledger to 'done' — end-to-end, no coordinator."""
+    from pyspark.sql import functions as F
+    from wdd.checkpoint import StageStore
+    from wdd.jobs import JobLedger
+
+    from datetime import datetime
+    ts = datetime(2024, 3, 1)
+    pages = spark.createDataFrame(
+        [(f"http://s{i}.example/", ts,
+          bytearray(b"<html><body><p>w" + str(i).encode() + b"</p></body></html>"),
+          f"w{i}", "en") for i in range(6)],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    pages_dir = str(tmp_path / "pages")
+    pages.write.parquet(pages_dir)
+
+    ledger = JobLedger(tmp_path / "jobs", spark)
+    store = StageStore(tmp_path / "store", spark)
+
+    # simulate the crashed run: jobs submitted (running), no manifest
+    ledger.submit(
+        pages.select("url", F.year("warc_ts").cast("string").alias("year")),
+        stage="ingest_1")
+    assert ledger.status("http://s0.example/", 2024) == "running"
+
+    run_incremental_simhash(spark, pages_dir, str(tmp_path / "out"),
+                            str(tmp_path / "ckpt"),
+                            ledger=ledger, store=store, stage="ingest_1")
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 6
+    assert ledger.status("http://s0.example/", 2024) == "done"
+
+    # second drain: checkpoint ingests nothing, ledger stays converged
+    run_incremental_simhash(spark, pages_dir, str(tmp_path / "out"),
+                            str(tmp_path / "ckpt"),
+                            ledger=ledger, store=store, stage="ingest_1")
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 6
+    assert ledger.status("http://s5.example/", 2024) == "done"

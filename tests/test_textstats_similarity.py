@@ -103,13 +103,20 @@ def test_multimodal_image_features_and_frames(spark):
         (2, "image", bytearray(b"imgpayload-2"), 8, 8, 0, 0),
         (3, "video", bytearray(b"vidpayload"), 0, 0, 0, 25),
         (4, "audio", bytearray(b"audpayload"), 0, 0, 16000, 0),
+        # NULL-payload negative controls (round-2 verdict: bytes(None)
+        # raised in the worker) — image yields decode_ok=false, video
+        # emits no frames, neither crashes
+        (5, "image", None, 8, 8, 0, 0),
+        (6, "video", None, 0, 0, 0, 25),
     ]
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, width int, "
               "height int, sample_rate int, n_frames int")
     feats = image_features(media).collect()
-    assert {r.media_id for r in feats} == {1, 2}
-    assert all(len(r.feature) == 16 and r.decode_ok for r in feats)
+    assert {r.media_id for r in feats} == {1, 2, 5}
+    assert all(len(r.feature) == 16 for r in feats)
+    assert {r.media_id: r.decode_ok for r in feats} == \
+        {1: True, 2: True, 5: False}
     # deterministic across runs
     feats2 = image_features(media).collect()
     assert sorted((r.media_id, tuple(r.feature)) for r in feats) == \

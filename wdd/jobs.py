@@ -41,10 +41,25 @@ def job_id_col(url: str = "url", year: str = "year"):
     return F.md5(F.concat_ws("|", F.col(url), F.col(year)))
 
 
+_STATUS_RANK = {"done": 3, "failed": 2, "running": 1}
+
+
 def latest_status(ledger: DataFrame) -> DataFrame:
     """One row per job_id: the row with the highest seq (per-job window —
-    partitioned, scales like any collapse)."""
-    w = Window.partitionBy("job_id").orderBy(F.desc("seq"))
+    partitioned, scales like any collapse).
+
+    Deterministic under concurrent writers: `_next_seq` is read-max-then-
+    append, so two racing submitters CAN allocate the same seq. Ties are
+    broken by status rank (done > failed > running — a terminal state a
+    racing writer recorded is never shadowed by a concurrent 'running'
+    append), then url/year for a total order. Same-seq same-status
+    duplicates collapse to one row either way."""
+    rank = F.coalesce(
+        *[F.when(F.col("status") == s, F.lit(r))
+          for s, r in _STATUS_RANK.items()],
+        F.lit(0))
+    w = Window.partitionBy("job_id").orderBy(
+        F.desc("seq"), rank.desc(), F.asc("url"), F.asc("year"))
     return (ledger.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
 

@@ -5,7 +5,9 @@ the extracted `domain` AND `suffix` are both non-empty). tldextract ships a
 bundled publicsuffix.org snapshot; this module embeds a compact, offline
 snapshot with the same DECISION semantics:
 
-  * every assigned 2-letter code is a ccTLD (the PSL lists all of them);
+  * the DELEGATED ccTLDs are enumerated (an unassigned 2-letter code like
+    'zz' yields suffix='' and is invalid, matching tldextract — the round-2
+    advice item: accepting ANY 2-letter label validated 'example.zz');
   * the legacy gTLDs and the most common new gTLDs are enumerated;
   * the common two-label public suffixes (co.uk, com.au, co.jp, ...) are
     enumerated, so `http://co.uk/` correctly has NO registrable domain
@@ -38,6 +40,23 @@ services shoes shop show site ski social software solar solutions space
 store stream studio study style support systems team tech technology today
 tools tours town toys trade training tube video villas vision wang watch
 web webcam website wedding wiki work works world wtf zone
+""".split())
+
+# ccTLDs delegated in the DNS root (IANA root zone database / PSL ICANN
+# section). ISO codes never delegated (bl, eh, mf, um) and retired ones
+# (an, tp, yu, zr, gb) are excluded — tldextract's live snapshot rejects
+# those too (gb was removed from the PSL in 2024).
+_CCTLDS = frozenset("""
+ac ad ae af ag ai al am ao aq ar as at au aw ax az ba bb bd be bf bg bh bi
+bj bm bn bo bq br bs bt bv bw by bz ca cc cd cf cg ch ci ck cl cm cn co cr
+cu cv cw cx cy cz de dj dk dm do dz ec ee eg er es et eu fi fj fk fm fo fr
+ga gd ge gf gg gh gi gl gm gn gp gq gr gs gt gu gw gy hk hm hn hr ht hu id
+ie il im in io iq ir is it je jm jo jp ke kg kh ki km kn kp kr kw ky kz la
+lb lc li lk lr ls lt lu lv ly ma mc md me mg mh mk ml mm mn mo mp mq mr ms
+mt mu mv mw mx my mz na nc ne nf ng ni nl no np nr nu nz om pa pe pf pg ph
+pk pl pm pn pr ps pt pw py qa re ro rs ru rw sa sb sc sd se sg sh si sj sk
+sl sm sn so sr ss st su sv sx sy sz tc td tf tg th tj tk tl tm tn to tr tt
+tv tw tz ua ug uk us uy uz va vc ve vg vi vn vu wf ws ye yt za zm zw
 """.split())
 
 # common two-label public suffixes (PSL): a host equal to one of these has
@@ -94,7 +113,7 @@ def split_host(host: str) -> tuple[str, str, str]:
         return "", "", ""
     if len(labels) >= 2 and ".".join(labels[-2:]) in _MULTI_SUFFIXES:
         suffix_n = 2
-    elif labels[-1] in _GTLDS or (len(labels[-1]) == 2 and labels[-1].isalpha()):
+    elif labels[-1] in _GTLDS or labels[-1] in _CCTLDS:
         suffix_n = 1
     else:
         # not a known public suffix: tldextract yields suffix=''

@@ -95,7 +95,13 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
     rounds — measured 7 rounds = ~10 s FLAT from 2 to 8 cores, i.e. pure
     serial fraction. Chaining halves the sync points at the cost of at most
     rounds_per_sync-1 extra (cheap, already-converged) contractions; the
-    fixpoint is identical."""
+    fixpoint is identical.
+
+    CCResult.iterations counts EXECUTED contraction rounds (sync points x
+    rounds_per_sync) — an upper bound on the rounds the graph needed, since
+    the fixpoint may be reached partway through a chained sync. max_iter
+    bounds sync points, so at most rounds_per_sync * max_iter contractions
+    run."""
     sc = edges.sparkSession.sparkContext
     baseline = _persistent_rdd_ids(sc)
     e = (edges.select(F.col("a").cast("long").alias("a"),

@@ -62,6 +62,9 @@ def image_features(media: DataFrame, deterministic_fake: bool = True,
             feats, oks = [], []
             for payload in pdf["payload"]:
                 try:
+                    if payload is None:
+                        # NULL payload: undecodable row, never-throw (F6)
+                        raise NotImplementedError("null payload")
                     img = decode_image(bytes(payload),
                                        deterministic_fake=deterministic_fake)
                     # "resize" to 4x4 mean-pool + flatten, then pad/trim
@@ -97,6 +100,10 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             out_id, out_idx, out_sha = [], [], []
             for mid, payload, n_frames in zip(pdf["media_id"], pdf["payload"],
                                               pdf["n_frames"]):
+                # NULL payload rows are dropped (same guard as audio_chunks:
+                # bytes(None) would raise TypeError in the worker)
+                if payload is None:
+                    continue
                 for idx in range(0, int(n_frames or 0), every_n):
                     out_id.append(mid)
                     out_idx.append(idx)

@@ -41,14 +41,34 @@ def _signature_batch(batch: DataFrame, cfg: WddConfig = DEFAULT) -> DataFrame:
 
 def run_incremental_simhash(spark: SparkSession, pages_dir: str,
                             out_dir: str, checkpoint_dir: str,
-                            schema: str | None = None) -> None:
-    """Drain all new page files into the simhashes sink, then stop."""
+                            schema: str | None = None,
+                            cfg: WddConfig = DEFAULT,
+                            ledger=None, store=None,
+                            stage: str | None = None) -> None:
+    """Drain all new page files into the simhashes sink, then stop.
+
+    cfg selects the signature width (f=64 scalar `simhash64` vs wide
+    `sim_parts` — the reference's prod f=256, conf.yml.example:2).
+
+    Ledger wiring (crash-resume end-to-end): when `ledger`/`store`/`stage`
+    are given, each micro-batch submits its (url, year) work to the
+    JobLedger as 'running' before writing, and after the drain the stage
+    manifest is materialized into the StageStore and `ledger.reconcile`
+    transitions running->done. A run that crashed between submit and
+    manifest leaves 'running' rows; the NEXT run's stream checkpoint skips
+    already-ingested files while reconcile converges the ledger — no
+    coordinator, same invariant as the batch pipeline's StageStore resume."""
     schema = schema or ("url string, warc_ts timestamp, html binary, "
                         "text string, lang string")
     stream = (spark.readStream.schema(schema).parquet(pages_dir))
 
     def _sink(batch: DataFrame, batch_id: int):
-        out = _signature_batch(batch)
+        if ledger is not None:
+            ledger.submit(
+                batch.select("url",
+                             F.year("warc_ts").cast("string").alias("year")),
+                stage=stage)
+        out = _signature_batch(batch, cfg)
         out.write.mode("append").parquet(out_dir)
 
     (stream.writeStream
@@ -57,3 +77,8 @@ def run_incremental_simhash(spark: SparkSession, pages_dir: str,
      .trigger(availableNow=True)
      .start()
      .awaitTermination())
+
+    if ledger is not None and store is not None and stage is not None:
+        if not store.exists(stage):
+            store.materialize(stage, spark.read.parquet(out_dir))
+        ledger.reconcile(store)
