@@ -760,6 +760,55 @@ def q_capture_diff(spark, sf_dir):
     return capture_diff_matrix(idx, "http://example.com/", "2024")
 
 
+def _surrogate_parts_col(id_col):
+    """4x60-bit surrogate sim_parts words (md5 15-hex prefixes of id'#'j) —
+    SQL-derivable in DuckDB, array<long>-typed like the real f=256 kernel
+    output (wdd/udfs.py make_simhash_parts_udf)."""
+    return F.array(*[
+        F.conv(F.substring(
+            F.md5(F.concat(id_col.cast("string"), F.lit(f"#{j}"))), 1, 15),
+            16, 10).cast("long")
+        for j in range(4)])
+
+
+def q_capture_diff256(spark, sf_dir):
+    """capture_diff at the reference's PROD width (f=256,
+    conf.yml.example:2), parts-typed: capture_diff_matrix's array<long>
+    branch — zip_with xor + bit_count + aggregate, pure codegen
+    (wdd/operators/pigeonhole.py hamming_parts_col) — over a surrogate
+    4-word index DuckDB derives in closed form. Round-2 verdict item #6:
+    the serving surface previously only exercised the scalar f=64 path."""
+    from wdd.operators.lookup import capture_diff_matrix
+    ev = _events(spark, sf_dir)
+    idx = (ev.where(F.col("user_id") == 7)
+           .select(F.lit("com,example)/").alias("surt_key"),
+                   F.date_format("ts", "yyyyMMddHHmmss").alias("ts14"),
+                   _surrogate_parts_col(F.col("event_id")).alias("sim_parts")))
+    return capture_diff_matrix(idx, "http://example.com/", "2024")
+
+
+def q_simhash_index_year256(spark, sf_dir):
+    """S3+S5-S7 serving layout at f=256: build_simhash_index's sim_parts
+    branch — the multi-word little-endian pack+base64 UDF (T4, reference
+    discover.py:71-77 at prod width) — with the DuckDB oracle restating the
+    32-byte packing byte-for-byte (4 words, each printf'd as 8 little-endian
+    bytes, concatenated in word order, then base64). Proves the /simhash
+    read path returns reference-identical payloads at the prod config."""
+    from wdd.pipeline import build_simhash_index
+    ev = _events(spark, sf_dir)
+    sims = ev.select(
+        F.concat(F.lit("http://u"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example.org/page/"),
+                 F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        _surrogate_parts_col(F.col("event_id")).alias("sim_parts"))
+    idx = build_simhash_index(sims)
+    return (idx.where(F.col("surt_key").startswith("org,example,u7)"))
+            .where(F.substring("ts14", 1, 4) == "2024")
+            .select("surt_key", "ts14", "simhash_b64")
+            .orderBy("surt_key", "ts14", "simhash_b64"))
+
+
 def q_simhash_index_year(spark, sf_dir):
     """S3+S5-S7 serving layout driver-oracled END-TO-END: the real
     build_simhash_index (surt-key UDF, ts14 derivation, little-endian
@@ -879,7 +928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "capture_diff": q_capture_diff,
+        "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
+        "simhash_index_year256": q_simhash_index_year256,
         "pipeline_recall": q_pipeline_recall,
         # rows-only (real hash kernels; no SQL oracle possible — see docstring)
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
@@ -1395,6 +1446,22 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.h, b.h))::BIGINT AS hamming
             FROM caps a JOIN caps b ON a.ts14 < b.ts14
         """,
+        "capture_diff256": """
+            WITH caps AS (
+              SELECT strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#0'), 1, 15))::BIGINT AS h0,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#1'), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#2'), 1, 15))::BIGINT AS h2,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#3'), 1, 15))::BIGINT AS h3
+              FROM events WHERE user_id = 7 AND year(ts) = 2024
+            )
+            SELECT a.ts14 AS ts_a, b.ts14 AS ts_b,
+                   (bit_count(xor(a.h0, b.h0))::BIGINT
+                    + bit_count(xor(a.h1, b.h1))::BIGINT
+                    + bit_count(xor(a.h2, b.h2))::BIGINT
+                    + bit_count(xor(a.h3, b.h3))::BIGINT) AS hamming
+            FROM caps a JOIN caps b ON a.ts14 < b.ts14
+        """,
         "simhash_index_year": """
             WITH sims AS (
               SELECT 'org,example,u' || (user_id % 20)::VARCHAR
@@ -1410,6 +1477,43 @@ def oracle_sql() -> dict[str, str]:
                      (h >> 24) & 255, (h >> 32) & 255, (h >> 40) & 255,
                      (h >> 48) & 255, (h >> 56) & 255))) AS simhash_b64
             FROM sims
+            WHERE surt_key LIKE 'org,example,u7)%'
+              AND substr(ts14, 1, 4) = '2024'
+            ORDER BY surt_key, ts14, simhash_b64
+        """,
+        "simhash_index_year256": """
+            WITH sims AS (
+              SELECT 'org,example,u' || (user_id % 20)::VARCHAR
+                       || ')/page/' || user_id::VARCHAR AS surt_key,
+                     strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#0'), 1, 15))::BIGINT AS h0,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#1'), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#2'), 1, 15))::BIGINT AS h2,
+                     ('0x' || substr(md5(event_id::VARCHAR || '#3'), 1, 15))::BIGINT AS h3
+              FROM events
+            ),
+            packed AS (
+              SELECT surt_key, ts14,
+                     printf('%02x%02x%02x%02x%02x%02x%02x%02x',
+                       h0 & 255, (h0 >> 8) & 255, (h0 >> 16) & 255,
+                       (h0 >> 24) & 255, (h0 >> 32) & 255, (h0 >> 40) & 255,
+                       (h0 >> 48) & 255, (h0 >> 56) & 255)
+                     || printf('%02x%02x%02x%02x%02x%02x%02x%02x',
+                       h1 & 255, (h1 >> 8) & 255, (h1 >> 16) & 255,
+                       (h1 >> 24) & 255, (h1 >> 32) & 255, (h1 >> 40) & 255,
+                       (h1 >> 48) & 255, (h1 >> 56) & 255)
+                     || printf('%02x%02x%02x%02x%02x%02x%02x%02x',
+                       h2 & 255, (h2 >> 8) & 255, (h2 >> 16) & 255,
+                       (h2 >> 24) & 255, (h2 >> 32) & 255, (h2 >> 40) & 255,
+                       (h2 >> 48) & 255, (h2 >> 56) & 255)
+                     || printf('%02x%02x%02x%02x%02x%02x%02x%02x',
+                       h3 & 255, (h3 >> 8) & 255, (h3 >> 16) & 255,
+                       (h3 >> 24) & 255, (h3 >> 32) & 255, (h3 >> 40) & 255,
+                       (h3 >> 48) & 255, (h3 >> 56) & 255) AS hex32
+              FROM sims
+            )
+            SELECT surt_key, ts14, to_base64(from_hex(hex32)) AS simhash_b64
+            FROM packed
             WHERE surt_key LIKE 'org,example,u7)%'
               AND substr(ts14, 1, 4) = '2024'
             ORDER BY surt_key, ts14, simhash_b64
