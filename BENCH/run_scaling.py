@@ -5,10 +5,11 @@ No multi-node cluster exists in this sandbox, so — per the task brief ("run
 the same job at two parallelism levels (e.g. local[8] and local[32], or N and
 4N cores) on the same input") — the same spark-submit job runs on the SAME
 input at N=2 and 4N=8 cores. Each leg is a fresh
-`spark-submit --py-files dist/wdd.zip bench.py` process; legs are run
-serially, `repeats` times each, and the best throughput per leg is kept
-(the sandbox host has noisy neighbors; max-of-k is the standard
-noise-rejection protocol).
+`spark-submit --py-files dist/wdd.zip bench.py` process; legs run serially
+as `repeats` interleaved matched-window (N, 4N) pairs. The RAW matched-pair
+efficiency is the only pass/fail number; scaling.json records THIS run's
+pairs with median/min/max (no keep-best ratcheting across runs — every
+run also appends verbatim to scaling_history.jsonl).
 
 Hardware context recorded alongside: a pure-multiprocessing run of the same
 kernels measures the machine's attainable scaling on each span (this box is
@@ -142,7 +143,12 @@ def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
 
 
 def main():
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # default x128 (908k pages): the pipeline's fixed serial cost (driver
+    # sync latency, stage submission — measured FLAT from 2 to 8 cores) is
+    # the same seconds on both legs, so it taxes the fast leg's ratio ~4x
+    # harder; a larger same-input workload amortizes it without touching
+    # the per-page work. (x64's 2-core leg ran ~360 s; x128 runs ~12 min.)
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     zpath = build_zip()
     # INTERLEAVE the legs (probes, N, 4N, probes, N, 4N, ...): this host's
@@ -165,84 +171,78 @@ def main():
             print(f"local[{cpus}] run{i}: wall={r['value']}s "
                   f"pps={r['pages_per_sec']} recall={r['dup_pair_recall']}",
                   flush=True)
-    best = {c: max(rs, key=lambda r: r["pages_per_sec"])
-            for c, rs in runs.items()}
-    thr_n = best[N_CORES]["pages_per_sec"]
-    thr_4n = best[N4_CORES]["pages_per_sec"]
-    eff = (thr_4n / thr_n) / (N4_CORES / N_CORES)
     # efficiency of each adjacent (N, 4N) pair: the MATCHED-WINDOW
     # measurements — both legs of a pair run back-to-back under ~the same
     # ambient load, so a pair ratio is the cleanest single observation
     # (best-of-legs across pairs can mix windows in either direction).
-    pair_effs = [round((b["pages_per_sec"] / a["pages_per_sec"]) /
-                       (N4_CORES / N_CORES), 3)
-                 for a, b in zip(runs[N_CORES], runs[N4_CORES])]
-    best_pair_i = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
-    best_pair = {
-        "efficiency": pair_effs[best_pair_i],
-        "leg_N": runs[N_CORES][best_pair_i],
-        "leg_4N": runs[N4_CORES][best_pair_i],
-        "window_probes": probes[best_pair_i],
-        "probe_normalized": round(pair_effs[best_pair_i] /
-                                  ((min(1.0, probes[best_pair_i]["kernel"])
-                                    * min(1.0, probes[best_pair_i]["memcpy"]))
-                                   ** 0.5), 3),
-    }
-    # attainable-ceiling normalization: the pipeline is a mix of
-    # compute-bound (Arrow UDF) and bandwidth-bound (shuffle/sort) stages;
-    # the geometric mean of the two probe ceilings is the neutral blend.
-    # Raw numbers are always reported alongside — the normalized figure
-    # answers "how close is the ENGINE to what this box can physically
-    # deliver on this span in this window", which is the design question
-    # the north rule's two-cluster-size criterion probes.
-    # clamp at 1.0: a probe ceiling above 1 means the 2-proc BASELINE got
-    # robbed by neighbors mid-probe (memcpy "ceilings" up to 36x were
-    # observed in storm windows), not that the box scales superlinearly —
-    # normalizing by >1 would understate the engine.
-    kern = min(1.0, max(p["kernel"] for p in probes))
-    memc = min(1.0, max(p["memcpy"] for p in probes))
-    blend = (kern * memc) ** 0.5
+    # RAW pair efficiency is the ONLY pass/fail criterion (round-2 advice);
+    # per-pair probe normalization is recorded strictly as a diagnostic of
+    # how much of a shortfall is the shared host's attainable ceiling.
+    def pair_record(i):
+        a, b = runs[N_CORES][i], runs[N4_CORES][i]
+        eff_i = round((b["pages_per_sec"] / a["pages_per_sec"]) /
+                      (N4_CORES / N_CORES), 3)
+        pr = probes[i]
+        # clamp at 1.0: a probe "ceiling" above 1 means the N-proc probe
+        # baseline got robbed by neighbors mid-probe (memcpy ratios up to
+        # 36x were observed in storm windows), not superlinear hardware;
+        # a clamped pair is NOT clean evidence and is flagged as such.
+        kern_c, memc_c = min(1.0, pr["kernel"]), min(1.0, pr["memcpy"])
+        return {
+            "efficiency_raw": eff_i,
+            "throughput": {f"{N_CORES}_cores": a["pages_per_sec"],
+                           f"{N4_CORES}_cores": b["pages_per_sec"]},
+            "window_probes": pr,
+            "probes_clean": pr["kernel"] <= 1.0 and pr["memcpy"] <= 1.0,
+            "diagnostic_probe_normalized": round(
+                eff_i / ((kern_c * memc_c) ** 0.5), 3),
+        }
+
+    pairs = [pair_record(i) for i in range(repeats)]
+    pair_effs = sorted(p["efficiency_raw"] for p in pairs)
+    median_eff = pair_effs[len(pair_effs) // 2] if repeats % 2 else round(
+        (pair_effs[repeats // 2 - 1] + pair_effs[repeats // 2]) / 2, 3)
+    best_pair = max(pairs, key=lambda p: p["efficiency_raw"])
+    best_clean = max((p for p in pairs if p["probes_clean"]),
+                     key=lambda p: p["efficiency_raw"], default=None)
     result = {
         "topology": f"spark-submit --py-files dist/wdd.zip, local[{N_CORES}] "
-                    f"vs local[{N4_CORES}], same input, best of {repeats}",
-        "input_pages": best[N_CORES]["pages"],
+                    f"vs local[{N4_CORES}], same input, {repeats} "
+                    "interleaved matched-window pairs",
+        "input_pages": runs[N_CORES][0]["pages"],
         "replicas": replicas,
-        "leg_N": best[N_CORES],
-        "leg_4N": best[N4_CORES],
-        "throughput_pages_per_sec": {f"{N_CORES}_cores": thr_n,
-                                     f"{N4_CORES}_cores": thr_4n},
-        "scaling_efficiency_N_to_4N": round(eff, 3),
-        "interleaved_pair_efficiencies": pair_effs,
-        "best_matched_pair": best_pair,
-        "hardware_ceilings_per_window": probes,
-        "attainable_ceiling_blend_geomean": round(blend, 3),
-        "probe_normalized_efficiency": round(eff / blend, 3),
-        "efficiency_vs_kernel_ceiling": round(eff / kern, 3),
-        "efficiency_vs_bandwidth_ceiling": round(eff / memc, 3),
+        "recall_all_legs": sorted({r["dup_pair_recall"]
+                                   for rs in runs.values() for r in rs}),
+        # THIS RUN's numbers, verbatim — no keep-best ratcheting across
+        # runs (round-2 advice: the headline artifact must not record only
+        # the single most favorable window). History: scaling_history.jsonl.
+        "matched_pairs": pairs,
+        "pair_efficiency_raw": {
+            "median": median_eff,
+            "min": pair_effs[0],
+            "max": pair_effs[-1],
+        },
+        "best_matched_pair": {
+            **best_pair,
+            "leg_N": runs[N_CORES][pairs.index(best_pair)],
+            "leg_4N": runs[N4_CORES][pairs.index(best_pair)],
+        },
+        "best_clean_probe_pair": best_clean,
         "target": 0.8,
-        "meets_target_raw": eff >= 0.8,
-        "meets_target_probe_normalized": (eff / blend) >= 0.8,
+        # pass/fail is RAW matched-pair efficiency only; the probe
+        # normalization never feeds a meets_* flag (round-2 advice)
+        "meets_target_raw_median": median_eff >= 0.8,
+        "meets_target_raw_best_pair": best_pair["efficiency_raw"] >= 0.8,
     }
-    # scaling.json holds the BEST measured window (the shared host's
-    # ambient bandwidth gates the ratio — BASELINE.md documents the spread);
-    # every run also lands verbatim in scaling_last.json for drift tracking.
-    with open(ROOT / "BENCH" / "scaling_last.json", "w") as f:
+    with open(ROOT / "BENCH" / "scaling.json", "w") as f:
         json.dump(result, f, indent=1)
-    best_path = ROOT / "BENCH" / "scaling.json"
-    prev_eff = -1.0
-    if best_path.exists():
-        try:
-            prev_eff = json.load(open(best_path)).get(
-                "scaling_efficiency_N_to_4N", -1.0)
-        except Exception:
-            pass
-    if eff > prev_eff:
-        with open(best_path, "w") as f:
-            json.dump(result, f, indent=1)
-    print(json.dumps(result["throughput_pages_per_sec"]),
-          "efficiency:", round(eff, 3),
-          "probe-normalized:", round(eff / blend, 3),
-          f"(best so far: {max(eff, prev_eff):.3f})")
+    with open(ROOT / "BENCH" / "scaling_history.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print("pair raw efficiencies:", [p["efficiency_raw"] for p in pairs],
+          "median:", median_eff,
+          "best:", best_pair["efficiency_raw"],
+          "best clean-probe pair:",
+          best_clean["efficiency_raw"] if best_clean else None)
 
 
 if __name__ == "__main__":
