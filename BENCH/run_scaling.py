@@ -107,12 +107,22 @@ def _pin_to(procs: int):
 
 
 def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
+    # Heap scales WITH the leg's core count (2 GiB/core, floor 2 GiB): going
+    # N -> 4N executors on a real cluster multiplies aggregate memory by 4
+    # alongside the cores, so a fixed heap across legs would model a cluster
+    # that adds cores without their memory. Size matters in BOTH directions
+    # here: the 1g spark-submit default OOMs the 8-task leg at x128, while
+    # an oversized 96g heap measured ~2x SLOWER on both legs (huge-heap GC
+    # plus JVM RSS fighting the tmpfs shuffle dir for RAM — with a small
+    # heap Spark spills early to /dev/shm, which is RAM-speed anyway).
+    heap_gb = max(2, 2 * cpus)
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
-               # single JVM at a time on a 125 GiB box; a roomy heap (56g of the 125 GiB box, one JVM at a time) keeps a
-               # noisy-window eviction storm from tipping a leg into Spark's
-               # OOM exit (code 52, observed once on an 8-core leg at x64)
-               WDD_DRIVER_MEM="56g",
+               # WDD_DRIVER_MEM only affects python-launched sessions; under
+               # spark-submit the JVM is already up before the builder conf
+               # is read, so the heap MUST go on the command line below.
+               # (Round-2 legs silently ran on the 1g default.)
+               WDD_DRIVER_MEM=f"{heap_gb}g",
                WDD_BENCH_QUERIES="none",   # legs time the pipeline only
                WDD_BENCH_REPLICAS=str(replicas))
     env.pop("WDD_EXECUTORS", None)
@@ -123,7 +133,8 @@ def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
     for attempt in range(attempts):
         out = subprocess.run(
             ["taskset", "-c", f"0-{cpus - 1}",
-             SPARK_SUBMIT, "--py-files", str(zpath), str(ROOT / "bench.py")],
+             SPARK_SUBMIT, "--driver-memory", env["WDD_DRIVER_MEM"],
+             "--py-files", str(zpath), str(ROOT / "bench.py")],
             env=env, capture_output=True, text=True, timeout=2400,
             cwd=str(ROOT))
         if out.returncode == 0:

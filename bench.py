@@ -87,9 +87,13 @@ def main():
         executors=int(executors) if executors else None,
         executor_cores=exec_cores,
         extra_conf={
-            # scale the shuffle width with the core count so neither leg of
-            # the N-vs-4N scaling measurement is partition-starved
-            "spark.sql.shuffle.partitions": str(max(32, 2 * total_cores)),
+            # shuffle width scales with BOTH core count (so no leg of the
+            # N-vs-4N measurement is partition-starved) and the replica
+            # factor (so per-task sort footprints stay flat as the corpus
+            # grows — x128 at 32 partitions OOMed small heaps; x32 at 64
+            # partitions pays ~2x scheduling overhead on 10-40 ms tasks)
+            "spark.sql.shuffle.partitions": str(max(2 * total_cores,
+                                                    replicas // 4, 8)),
             # text payloads compress ~5x in shuffle files: the default 64m
             # advisory target makes AQE coalesce into partitions whose
             # DEserialized sort footprint OOMs small-heap legs — keep
@@ -111,7 +115,15 @@ def main():
     # --- headline: full near-dup pipeline (extract -> hash -> candidates
     # -> clusters), timed end-to-end including the final materialization ----
     pages, truth = synth_pages(spark, sf_dir)
-    pages = _replicate_pages(pages, replicas).localCheckpoint(eager=True)
+    # repartition BEFORE the eager checkpoint (setup, not timed): documents
+    # is one parquet file, so synth+replicate otherwise leaves the whole
+    # corpus in ~5 partitions and every pre-shuffle stage of the timed
+    # pipeline caps at 5 tasks — at 8 cores that is a 62% utilization
+    # ceiling that silently depressed all round-1/2 scaling legs (and it is
+    # exactly the input layout mistake a real 100 TB ingest must avoid)
+    pages = (_replicate_pages(pages, replicas)
+             .repartition(max(4 * total_cores, 16))
+             .localCheckpoint(eager=True))
     truth = _replicate_truth(truth, replicas)
     n_pages = pages.count()
 
