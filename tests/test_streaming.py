@@ -193,3 +193,52 @@ def test_streaming_ledger_reconcile_crash_resume(spark, tmp_path):
                             ledger=ledger, store=store, stage="ingest_1")
     assert spark.read.parquet(str(tmp_path / "out")).count() == 6
     assert ledger.status("http://s5.example/", 2024) == "done"
+
+
+def test_streaming_ledger_requires_stage_and_store(spark, tmp_path):
+    """A ledger submit without the stage/store pair would strand 'running'
+    rows forever (reconcile filters stage IS NOT NULL) — rejected at entry."""
+    import pytest
+    from wdd.jobs import JobLedger
+
+    ledger = JobLedger(tmp_path / "jobs", spark)
+    with pytest.raises(ValueError, match="stage"):
+        run_incremental_simhash(spark, str(tmp_path / "pages"),
+                                str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                                ledger=ledger)
+
+
+def test_streaming_manifest_dedups_replayed_batches(spark, tmp_path):
+    """foreachBatch + append parquet is at-least-once: a crash between batch
+    write and checkpoint commit replays the batch, duplicating sink rows.
+    The stage manifest must freeze the exactly-once view (page_id, digest)."""
+    from datetime import datetime
+
+    from wdd.checkpoint import StageStore
+    from wdd.jobs import JobLedger
+
+    ts = datetime(2024, 3, 1)
+    pages = spark.createDataFrame(
+        [(f"http://d{i}.example/", ts,
+          bytearray(b"<html><body><p>w" + str(i).encode() + b"</p></body></html>"),
+          f"w{i}", "en") for i in range(5)],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pages.write.parquet(pages_dir)
+
+    # simulate a replayed batch already sitting in the sink directory
+    from wdd.streaming.ingest import _signature_batch
+    _signature_batch(spark.read.parquet(pages_dir)) \
+        .write.mode("append").parquet(out_dir)
+
+    ledger = JobLedger(tmp_path / "jobs", spark)
+    store = StageStore(tmp_path / "store", spark)
+    run_incremental_simhash(spark, pages_dir, out_dir,
+                            str(tmp_path / "ckpt"),
+                            ledger=ledger, store=store, stage="ingest_1")
+
+    # sink keeps the at-least-once contract (replay + drain = 10 rows);
+    # the manifest view is exactly-once
+    assert spark.read.parquet(out_dir).count() == 10
+    assert store.load("ingest_1").count() == 5

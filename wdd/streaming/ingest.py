@@ -58,6 +58,14 @@ def run_incremental_simhash(spark: SparkSession, pages_dir: str,
     manifest leaves 'running' rows; the NEXT run's stream checkpoint skips
     already-ingested files while reconcile converges the ledger — no
     coordinator, same invariant as the batch pipeline's StageStore resume."""
+    if ledger is not None and (store is None or stage is None):
+        # a ledger submit without the stage/store pair would write 'running'
+        # rows that reconcile() (which filters stage IS NOT NULL against the
+        # stage manifest) can never transition to 'done' — permanently
+        # blocking resubmission of those (url, year) jobs
+        raise ValueError(
+            "ledger wiring requires both store and stage: submitted rows "
+            "are only reconciled to 'done' through the stage manifest")
     schema = schema or ("url string, warc_ts timestamp, html binary, "
                         "text string, lang string")
     stream = (spark.readStream.schema(schema).parquet(pages_dir))
@@ -80,5 +88,15 @@ def run_incremental_simhash(spark: SparkSession, pages_dir: str,
 
     if ledger is not None and store is not None and stage is not None:
         if not store.exists(stage):
-            store.materialize(stage, spark.read.parquet(out_dir))
+            # foreachBatch + append parquet is at-least-once: a crash between
+            # the batch write and the stream-checkpoint commit re-writes that
+            # batch on resume, duplicating rows in out_dir. Dedup on the
+            # (page_id, digest) identity when freezing the stage manifest so
+            # duplicates never enter the store (the sink directory itself
+            # keeps the at-least-once contract; readers needing exactly-once
+            # go through the manifest).
+            store.materialize(
+                stage,
+                spark.read.parquet(out_dir)
+                .dropDuplicates(["page_id", "digest"]))
         ledger.reconcile(store)
