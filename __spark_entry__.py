@@ -1558,6 +1558,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT did, 'substring', '/sub/' FROM d
               WHERE did % 11 = 0 AND length(text) >= 180
+              UNION ALL
+              SELECT did, 'reorder', '/rev/' FROM d WHERE did % 17 = 0
             )
             SELECT 'http://'
                    || CASE WHEN did % 4 = 0 THEN 'hot.example'

@@ -55,6 +55,20 @@ def test_cluster_recall_against_planted_truth(pipeline_result, spark):
     # exact dups must be perfect
     eh, en = stats["exact"]
     assert eh == en
+    # Hamming-0 across distinct digests (reversed token order) is invisible
+    # to exact/LSH/pigeonhole/substring by construction — these pairs prove
+    # the samesim star-edge source, and must be perfect too
+    rh, rn = stats["reorder"]
+    assert rn > 0 and rh == rn, stats
+
+
+def test_samesim_edges_connect_reordered_text(pipeline_result):
+    """The reorder variants have different digests from their base but the
+    identical bag -> identical simhash; the only edge source that can reach
+    them is 'samesim'. Assert those edges exist in the candidate graph."""
+    _, _, res = pipeline_result
+    n = res.candidate_pairs.where(F.col("source") == "samesim").count()
+    assert n > 0
 
 
 def test_precision_every_lsh_edge_is_truly_similar(pipeline_result):
@@ -109,8 +123,9 @@ def test_simhash_index_layout(pipeline_result, spark):
 def test_metrics_recorded(pipeline_result, spark):
     _, _, res = pipeline_result
     stages = {r.stage for r in res.metrics.records}
-    assert {"prep", "signatures", "simhashes", "edges_exact", "edges_lsh",
-            "edges_pigeonhole", "candidate_pairs", "clusters"} <= stages
+    assert {"prep", "signatures", "simhashes", "edges_exact", "edges_samesim",
+            "edges_lsh", "edges_pigeonhole", "candidate_pairs",
+            "clusters"} <= stages
     df = res.metrics.to_df(spark)
     assert df.where(F.col("rows_out") > 0).count() >= 5
 

@@ -130,8 +130,11 @@ def simhash_pairs_to_page_pairs(sim_pairs: DataFrame, simhashes: DataFrame,
                                 id_col: str = "page_id",
                                 sim_col: str = "simhash64") -> DataFrame:
     """Map simhash-value pairs to page-id pairs via one representative page
-    per simhash value (pages sharing a simhash are connected separately by
-    exact/same-sim star edges, so representatives preserve the components)."""
+    per simhash value. Pages/reps sharing a simhash are connected separately
+    — per-digest exact star edges plus the per-sim-value 'samesim' star edges
+    the pipeline emits (wdd/pipeline.py edges_samesim stage) — so one
+    representative per value preserves the connected components, including
+    Hamming-0 pairs across distinct digests."""
     reps = (simhashes.groupBy(sim_col)
             .agg(F.min(id_col).alias("rep")))
     return (

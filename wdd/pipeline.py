@@ -175,6 +175,26 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             .withColumn("score", F.lit(1.0))
         exact_edges = mat("edges_exact", exact_edges, t)
 
+    # -- stage: same-simhash star edges (Hamming 0 across DISTINCT digests).
+    # Two documents with different bytes but the identical feature BAG (e.g.
+    # the same text with sentences reordered — simhash is bag-of-words) have
+    # different digests yet simhash distance 0. The pigeonhole join pairs
+    # distinct sim values only, and LSH/substring miss reordered text by
+    # construction, so without this source the closest possible pair under
+    # the simhash metric would never be edged while Hamming 1..k pairs are.
+    # Star edges over digest-reps grouped by the sim value stay linear in
+    # group size; works unchanged for the scalar and array<long> sim columns
+    # (Spark windows partition by array keys). Null sims (extraction-failed
+    # pages on the parts path) are excluded — an all-null group would weld
+    # unrelated failures into one cluster.
+    with stage_timer(metrics, "edges_samesim") as t:
+        samesim_edges = D.exact_dup_edges(
+            reps.where(F.col(sim_col).isNotNull()), sim_col, "rep") \
+            .withColumn("source", F.lit("samesim")) \
+            .withColumn("score", F.lit(1.0)) \
+            .select("a", "b", "source", "score")
+        samesim_edges = mat("edges_samesim", samesim_edges, t)
+
     # -- stage: LSH band candidates + Jaccard verification (J1, J5) --------
     with stage_timer(metrics, "edges_lsh") as t:
         lsh_cand = L.lsh_candidates(reps, id_col="rep", sig_col="signature",
@@ -224,7 +244,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     with stage_timer(metrics, "candidate_pairs") as t:
         edges = exact_edges.select("a", "b").withColumn("source", F.lit("exact")) \
             .withColumn("score", F.lit(1.0))
-        parts = [edges, lsh_edges, ph_edges]
+        parts = [edges, samesim_edges, lsh_edges, ph_edges]
         if sub_edges is not None:
             parts.append(sub_edges)
         candidate_pairs = parts[0]

@@ -13,6 +13,10 @@ Planted truth (FIXTURES.md §B.1):
   * simhash near    doc_id % 13 == 0  one appended token (Hamming <= k at f=64)
   * minhash near    doc_id % 5 == 0   one mid-token replaced (shingle J >= 0.8)
   * substring       doc_id % 11 == 0  unrelated filler + a >=150-char slice
+  * bag reorder     doc_id % 17 == 0  reversed token order: identical feature
+    bag (simhash Hamming 0 at any f) under a different digest, near-zero
+    3-shingle Jaccard, no long common substring — reachable ONLY through the
+    pipeline's same-simhash star edges (round-3 verdict gap #1)
   * hot-domain skew doc_id % 4 == 0   -> one domain holds ~25% of rows
     (reference's motivating skew case: twitter.com 167k captures/year,
      discover.py:253-254)
@@ -126,8 +130,19 @@ def synth_pages(spark: SparkSession, sf_dir: str,
     substr = _page_rows(sub_src, "/sub/", "doc_id", "text2",
                         F.lit(345600), "substring")
 
+    # bag-identical reorder: reversed token order. The extracted text
+    # 'doc <id> <reversed>' has the same token MULTISET as the base (simhash
+    # is bag-of-words, extract.py:94-99 — Hamming distance 0 at any f) but a
+    # different byte digest, near-disjoint 3-shingles and no >=L-char common
+    # run: invisible to the exact/LSH/substring stages by construction, so
+    # clustering it exercises exactly the same-simhash star-edge source.
+    rev_src = docs.where(F.col("doc_id") % 17 == 0).withColumn(
+        "text2", F.concat_ws(" ", F.reverse(F.split("text", " "))))
+    reorder = _page_rows(rev_src, "/rev/", "doc_id", "text2",
+                         F.lit(432000), "reorder")
+
     pages = base.unionByName(exact).unionByName(simnear) \
-        .unionByName(near).unionByName(substr)
+        .unionByName(near).unionByName(substr).unionByName(reorder)
 
     truth = None
     if with_truth:
