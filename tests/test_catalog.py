@@ -43,6 +43,57 @@ def test_bucketed_roundtrip_and_pruned_lookup(spark, tmp_path):
     assert one_dir.where(F.col("url") == target).count() == 1
 
 
+def test_every_pipeline_table_write_plan(spark):
+    """Round-3 verdict task 8: the v2 write plan for EVERY table the
+    pipeline writes carries exactly the declared partition transform —
+    asserted from the built writer's partitioning (reflectively; Spark has
+    no public accessor) without needing the Iceberg jar on the classpath."""
+    from wdd.sources.catalog import (CatalogWriter, PIPELINE_TABLE_SPECS,
+                                     v2_partitioning)
+
+    frames = {
+        "simhash_index": spark.createDataFrame(
+            [("http://a/", "a)/", "20240101000000", "QUJD", 3)],
+            "url string, surt_key string, ts14 string, simhash_b64 string, "
+            "bucket long"),
+        "clusters": spark.createDataFrame(
+            [("http://a/", 1, 2)], "url string, page_id long, cluster_id long"),
+        "signatures": spark.createDataFrame(
+            [("d1", 5, [1, 2])], "digest string, simhash64 long, "
+            "signature array<int>"),
+        "candidate_pairs": spark.createDataFrame(
+            [(1, 2, "lsh", 0.9)], "a long, b long, source string, score double"),
+        "no_captures": spark.createDataFrame(
+            [("a)/", "2024", "-1")],
+            "surt_key string, ts14 string, simhash_b64 string"),
+        "job_ledger": spark.createDataFrame(
+            [(1, "http://a/", 2024, "running", "ingest", 1)],
+            "job_id long, url string, year int, status string, stage string, "
+            "seq long"),
+    }
+    expected = {
+        "simhash_index": "bucket(32, url)",
+        "clusters": "bucket(32, url)",
+        "signatures": "bucket(32, digest)",
+        "candidate_pairs": "bucket(32, a)",
+        "no_captures": "identity(ts14)",
+        "job_ledger": "identity(year)",
+    }
+    assert frames.keys() == PIPELINE_TABLE_SPECS.keys() == expected.keys()
+    cat = CatalogWriter(spark, "wdd_prod")
+    for name, df in frames.items():
+        part = v2_partitioning(cat.writer_for(df, name))
+        want = expected[name]
+        # identity transforms print as the bare column reference
+        bare = want.removeprefix("identity(").removesuffix(")") \
+            if want.startswith("identity(") else want
+        assert want in part or f"List({bare})" in part, (name, part)
+
+    import pytest
+    with pytest.raises(KeyError):
+        cat.writer_for(frames["clusters"], "undeclared_table")
+
+
 def test_iceberg_writer_dry_run(spark, sf_dir):
     """Jar-gated de-risk of the Iceberg path (SURVEY §7.6): the v2 writer
     chain (writeTo + bucket(N, url) partition transform) must BUILD with

@@ -19,8 +19,42 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import partitioning as PT
 
 from wdd.config import DEFAULT, WddConfig
+
+# Production partition layout for every table the pipeline writes
+# (SURVEY.md §7.6). Declarative: (transform, column) pairs applied by
+# `CatalogWriter.writer_for`; 'bucket' uses cfg.url_buckets. The layout
+# rationale, per table:
+#   simhash_index    point/year lookups by url  -> one bucket touched
+#   clusters         cluster lookup by page url -> one bucket touched
+#   signatures       per-digest store, joined back on digest
+#   candidate_pairs  edges co-located by source vertex for CC scans
+#   no_captures      tiny sentinel (surt_key, ts14=year, '-1'); identity
+#                    partition on the year value prunes year scans
+#   job_ledger       (url, year) job rows; identity on year prunes the
+#                    per-year reconcile scan
+PIPELINE_TABLE_SPECS: dict[str, tuple[tuple[str, str], ...]] = {
+    "simhash_index": (("bucket", "url"),),
+    "clusters": (("bucket", "url"),),
+    "signatures": (("bucket", "digest"),),
+    "candidate_pairs": (("bucket", "a"),),
+    "no_captures": (("identity", "ts14"),),
+    "job_ledger": (("identity", "year"),),
+}
+
+
+def v2_partitioning(writer) -> str:
+    """The partition transforms a DataFrameWriterV2 will hand the catalog,
+    as a string, e.g. 'Some(List(bucket(32, url)))'. Read reflectively from
+    the JVM writer — Spark exposes no public accessor — so tests (and
+    manifest logging) can assert the built plan without executing it
+    against a live catalog."""
+    jw = writer._jwriter
+    fld = jw.getClass().getDeclaredField("partitioning")
+    fld.setAccessible(True)
+    return str(fld.get(jw))
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -48,7 +82,22 @@ class CatalogWriter:
         (tests/test_catalog.py proves the failure is 'catalog not found',
         never a malformed write plan)."""
         return (df.writeTo(f"{self.root}.{name}")
-                .partitionedBy(F.bucket(self.cfg.url_buckets, bucket_col)))
+                .partitionedBy(PT.bucket(self.cfg.url_buckets, bucket_col)))
+
+    def writer_for(self, df: DataFrame, name: str):
+        """V2 writer with the declared production partition layout for a
+        pipeline table (PIPELINE_TABLE_SPECS). Raises KeyError for tables
+        with no declared layout — adding a pipeline output table requires
+        declaring how it partitions at 100 TB."""
+        transforms = []
+        for kind, col in PIPELINE_TABLE_SPECS[name]:
+            if kind == "bucket":
+                transforms.append(PT.bucket(self.cfg.url_buckets, col))
+            elif kind == "identity":
+                transforms.append(F.col(col))
+            else:
+                raise ValueError(f"unknown transform {kind!r}")
+        return df.writeTo(f"{self.root}.{name}").partitionedBy(*transforms)
 
     def write_bucketed(self, df: DataFrame, name: str,
                        bucket_col: str = "url") -> None:
