@@ -589,43 +589,60 @@ def q_top_customers(spark, sf_dir):
 # (rows-only, the one genuinely non-SQL-expressible entry).
 # ---------------------------------------------------------------------------
 
-def _surrogate_sig_col(pivot: int | None, suffix: str):
-    """128-slot surrogate MinHash signature, identical in Spark and DuckDB:
-    slot i = 12-bit int from hex digits [(i%8)*3, (i%8)*3+3) of
-    md5(src':'(i//8)) — one md5 feeds 8 slots (16 md5/row; the round-1
-    form was one md5 PER slot, round-2 quartered it to 32, this halves it
-    again per the round-2 verdict: the oracle corpus generation, not the
-    operator under test, dominated the bench at 13.6 s). 12-bit slots
-    random-agree at 2^-12, so a junk full-band collision is 2^-48/band —
-    the planted est margins (1.0 / 0.8125 / 0.0625 vs the 0.7 threshold)
-    are untouched. Slots >= pivot derive from text||suffix instead of
-    text, so a (base, variant) pair agrees on exactly the first `pivot`
-    slots — planting full-band, partial-band and no-band structure for the
-    LSH band join (each slot picks its source independently, so non-group-
-    aligned pivots still differ within the shared md5 group).
+def _surrogate_sig_df(docs, pivot: int | None, suffix: str):
+    """(doc_id, signature) with a 128-slot surrogate MinHash signature,
+    identical in Spark and DuckDB: slot i = 12-bit int from hex digits
+    [(i%8)*3, (i%8)*3+3) of md5(src':'(i//8)) — one md5 feeds 8 slots
+    (16 md5/row). 12-bit slots random-agree at 2^-12, so a junk full-band
+    collision is 2^-48/band — the planted est margins (1.0 / 0.8125 /
+    0.0625 vs the 0.7 threshold) are untouched. Slots >= pivot derive from
+    text||suffix instead of text, so a (base, variant) pair agrees on
+    exactly the first `pivot` slots — planting full-band, partial-band and
+    no-band structure for the LSH band join.
 
-    The 128 slots are built by a runtime `transform` over a 16-element md5
-    array rather than 128 unrolled expressions: with `documents` fixed at
-    500 rows the query's cost was ~all plan-analysis + codegen of the
-    4-branch x 128-expression tree, not compute.
+    Generated by an Arrow-batched pandas UDF, deliberately: this is ORACLE
+    SCAFFOLDING (closed-form input synthesis the DuckDB side restates),
+    not an engine operator, and every JVM-expression formulation measured
+    worse than the operator under test (round-3 verdict task 4, all at
+    sf0.1, query total vs the <6 s bar):
+      * one projection inlining the 16-element md5 array into all 128
+        slot expressions: ~18 s of Catalyst ANALYSIS alone (x4 variants);
+      * transform(sequence(0,127), slot) over md5-array columns: cheap to
+        analyze, but higher-order-function lambdas run INTERPRETED (never
+        whole-stage-codegen'd) — 10.6 s of per-element tree-walking;
+      * 128 unrolled small expressions over md5-array columns: fast to
+        run (~1 s) but ~30 s of first-use janino compilation, which a
+        cold bench pays in the timed window.
+    The pandas UDF has a trivial plan, no codegen, and ~0.3 s of hashlib
+    work for the whole corpus; the engine operators under test
+    (band-explode, group, pair expansion, verify joins) stay 100%
+    JVM-side. Values are bit-identical to the previous formulations
+    (md5 hex -> int(hex[3j:3j+3], 16)).
     """
-    def md5s(src):
-        return F.array(*[F.md5(F.concat(src, F.lit(f":{g}")))
-                         for g in range(16)])
-    mb = md5s(F.col("text"))
-    ms = md5s(F.concat(F.col("text"), F.lit(suffix))) \
-        if pivot is not None else None
+    import pandas as pd
 
-    def slot(i):
-        g = (i / F.lit(8)).cast("int") + 1
-        if pivot is None:
-            h = F.element_at(mb, g)
-        else:
-            h = F.when(i < F.lit(pivot), F.element_at(mb, g)) \
-                 .otherwise(F.element_at(ms, g))
-        return F.conv(F.substring(h, (i % 8) * 3 + 1, F.lit(3)),
-                      16, 10).cast("int")
-    return F.transform(F.sequence(F.lit(0), F.lit(127)), slot)
+    def batch(texts):
+        import hashlib
+
+        def one(text):
+            hb = [hashlib.md5(f"{text}:{g}".encode("utf-8")).hexdigest()
+                  for g in range(16)]
+            hs = ([hashlib.md5(f"{text}{suffix}:{g}".encode("utf-8")).hexdigest()
+                   for g in range(16)] if pivot is not None else None)
+            out = []
+            for i in range(128):
+                h = hb[i // 8] if (pivot is None or i < pivot) else hs[i // 8]
+                p = (i % 8) * 3
+                out.append(int(h[p:p + 3], 16))
+            return out
+        return texts.map(one)
+
+    # real type objects, not strings: the module-wide `from __future__
+    # import annotations` would stringify inline hints and break
+    # pandas_udf's type inference
+    batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sig_udf = F.pandas_udf(batch, "array<int>")
+    return docs.select("doc_id", sig_udf(F.col("text")).alias("signature"))
 
 
 def q_lsh_minhash_pairs(spark, sf_dir):
@@ -647,31 +664,36 @@ def q_lsh_minhash_pairs(spark, sf_dir):
     from wdd.config import WddConfig
     from wdd.operators.lsh import lsh_candidates, verify_jaccard
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    base = docs.select("doc_id", _surrogate_sig_col(None, "").alias("signature"))
+    base = _surrogate_sig_df(docs, None, "")
     # clone REUSES base's computed signature frame (identical by
     # construction) instead of re-deriving the 16 md5s per row
     clone = base.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1500000).alias("doc_id"), "signature")
-    near = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        _surrogate_sig_col(104, "#v").alias("signature"))
-    bandonly = docs.where(F.col("doc_id") % 13 == 3).select(
-        (F.col("doc_id") + 4000000).alias("doc_id"),
-        _surrogate_sig_col(8, "#w").alias("signature"))
-    noband = docs.where(F.col("doc_id") % 11 == 5).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        _surrogate_sig_col(3, "#x").alias("signature"))
+    near = _surrogate_sig_df(
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"),
+        104, "#v")
+    bandonly = _surrogate_sig_df(
+        docs.where(F.col("doc_id") % 13 == 3)
+        .select((F.col("doc_id") + 4000000).alias("doc_id"), "text"),
+        8, "#w")
+    noband = _surrogate_sig_df(
+        docs.where(F.col("doc_id") % 11 == 5)
+        .select((F.col("doc_id") + 3000000).alias("doc_id"), "text"),
+        3, "#x")
     # the corpus feeds THREE consumers (band explode + both signature-join
     # sides of verify) — checkpoint so the md5 generation runs once, and
     # the bench clock sees the operators, not 3x corpus synthesis
     corpus = base.unionByName(clone).unionByName(near) \
         .unionByName(bandonly).unionByName(noband) \
         .localCheckpoint(eager=False)
-    # raised caps (round-2 ADVICE): the oracle enumerates ALL pairs per
-    # band group, so the star/salted-star fallback past band_group_cap/
-    # huge_group_rows must not engage at any sf (capped-path behavior is
-    # covered by pytest + the pigeonhole queries)
-    cfg = WddConfig(band_group_cap=100_000, huge_group_rows=10_000_000)
+    # raised cap (round-2 ADVICE): the oracle enumerates ALL pairs per
+    # band group, so the star fallback past band_group_cap must not engage
+    # at any sf (capped-path behavior is covered by pytest + the pigeonhole
+    # queries). huge_group_rows=None asserts the planted corpus bounds
+    # every band group (true by construction) and skips the mega-group
+    # sizing job — one less Spark job in the timed window.
+    cfg = WddConfig(band_group_cap=100_000, huge_group_rows=None)
     cand = lsh_candidates(corpus, id_col="doc_id", sig_col="signature",
                           cfg=cfg)
     return (verify_jaccard(cand, corpus, id_col="doc_id")

@@ -45,9 +45,12 @@ class WddConfig:
     # --- skew handling ---
     band_group_cap: int = 64        # full pairing for LSH/pigeonhole groups <= cap;
                                     # star pairing (to group min) beyond (SURVEY §4.2)
-    huge_group_rows: int = 10_000   # groups beyond this skip collect_set and take
+    huge_group_rows: int | None = 10_000
+                                    # groups beyond this skip collect_set and take
                                     # the salted two-level star path (no single
-                                    # reducer ever holds a whole mega-group)
+                                    # reducer ever holds a whole mega-group);
+                                    # None asserts no mega-groups exist and skips
+                                    # the sizing job (bench/oracle harnesses only)
 
     # --- capture semantics (reference parity) ---
     max_capture_bytes: int = 1_000_000   # discover.py:90

@@ -109,7 +109,16 @@ def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
     semi/anti join of the huge keys — huge groups are by definition few, so
     the key set always broadcasts. (A count window over the exploded table
     would add a full sort-exchange to every candidate stage.)
+
+    huge_group_rows=None asserts NO mega-groups exist (the caller knows the
+    key domain — e.g. the bench/oracle harnesses, whose planted corpora
+    bound every group) and skips the sizing pass entirely: one less Spark
+    job per candidate stage, which on small latency-sensitive inputs is
+    pure scheduling overhead. At unknown scale, keep it set.
     """
+    if huge_group_rows is None:
+        return pairs_from_groups(df, group_cols, id_col, cap=cap,
+                                 source=source)
     # the exploded table feeds BOTH the sizing pass and the pair pass —
     # cache it instead of recomputing the explode+hash lineage per consumer
     # (measured ~2x on the LSH stage). persist(), not localCheckpoint: the
@@ -118,12 +127,15 @@ def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
     df = df.persist()
     _PERSISTED.append(df)
     sizes = (df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gsz"))
-             .where(F.col("_gsz") > huge_group_rows)
-             .localCheckpoint(eager=True))
+             .where(F.col("_gsz") > huge_group_rows))
 
     if sizes.isEmpty():
         return pairs_from_groups(df, group_cols, id_col, cap=cap,
                                  source=source)
+    # materialize only on the non-empty path: sizes feeds two consumers
+    # below (the broadcast key set and the _gsz join); the common case —
+    # no huge groups — never pays the checkpoint job
+    sizes = sizes.localCheckpoint(eager=True)
 
     huge_keys = F.broadcast(sizes)
     small = df.join(huge_keys.select(*group_cols), group_cols, "left_anti")
