@@ -120,9 +120,24 @@ def main():
     # corpus in ~5 partitions and every pre-shuffle stage of the timed
     # pipeline caps at 5 tasks — at 8 cores that is a 62% utilization
     # ceiling that silently depressed all round-1/2 scaling legs (and it is
-    # exactly the input layout mistake a real 100 TB ingest must avoid)
+    # exactly the input layout mistake a real 100 TB ingest must avoid).
+    # Width is DATA-scaled (~256 pages/partition) and clamped to
+    # [2*cores, 4*cores]: the round-3 form used 4*cores unconditionally,
+    # which at local[32] sf0.1 x1 split 7k pages into 128 micro-partitions
+    # and taxed every pre-shuffle stage with 128 tiny-task scheduling +
+    # Arrow rounds — measured as the whole 22s -> 26.5s headline regression
+    # (round-3 verdict task 2). Measured 3x-interleaved A/B at local[32]
+    # sf0.1 (medians): width 28 -> 25.7s, width 128 -> 26.7s, width 64
+    # (=2*cores) -> 23.7s, so the lower clamp is 2*cores, not raw
+    # data-scaling (28 parts leave cores idle in the tail of skewed UDF
+    # batches). Scaling legs (x128 replicas, 2/8 cores) data-scale far past
+    # the cap and still get exactly 4*cores.
+    n_base = pages.count()
+    width = int(os.environ.get("WDD_INPUT_PARTS", "0")) or \
+        int(min(4 * total_cores,
+                max(2 * total_cores, 16, n_base * replicas // 256)))
     pages = (_replicate_pages(pages, replicas)
-             .repartition(max(4 * total_cores, 16))
+             .repartition(width)
              .localCheckpoint(eager=True))
     truth = _replicate_truth(truth, replicas)
     n_pages = pages.count()
