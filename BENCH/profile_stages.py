@@ -99,7 +99,39 @@ def main():
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
 
+    # stage-level executor metrics for the timed region: per-job walls
+    # overlap under AQE (concurrent stage futures), so only aggregate task
+    # time can say whether 4x cores ran 4x the work in the same task-seconds
+    # (ideal), left cores idle (scheduling/skew), or inflated per-task time
+    # (bandwidth/GC contention)
+    def stages_after(first_stage_id):
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages"
+                "?status=complete") as r:
+            st = json.load(r)
+        return [s for s in st if s["stageId"] >= first_stage_id]
+
     jobs = jobs_after(mark)
+    first_stage = min((min(j["stageIds"]) for j in jobs
+                       if j.get("stageIds")), default=0)
+    stages = stages_after(first_stage)
+    agg = {}
+    for k in ("executorRunTime", "executorCpuTime", "jvmGcTime",
+              "shuffleWriteBytes", "shuffleReadBytes", "inputBytes",
+              "outputBytes", "memoryBytesSpilled", "diskBytesSpilled",
+              "executorDeserializeTime", "shuffleFetchWaitTime",
+              "shuffleWriteTime", "numTasks"):
+        agg[k] = sum(s.get(k, 0) or 0 for s in stages)
+    top_stages = [
+        {"stage": s["stageId"], "run_s": round(s.get("executorRunTime", 0) / 1e3, 1),
+         "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
+         "gc_s": round(s.get("jvmGcTime", 0) / 1e3, 1),
+         "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+         "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+         "spill_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
+         "tasks": s.get("numTasks"),
+         "name": (s.get("name") or "")[:80]}
+        for s in sorted(stages, key=lambda s: -s.get("executorRunTime", 0))[:14]]
     rows, prev_end = [], None
     gap_total = 0.0
     for j in jobs:
@@ -115,12 +147,28 @@ def main():
             "desc": (j.get("description") or j.get("name", ""))[:90],
         })
         prev_end = end
+    run_s = agg["executorRunTime"] / 1e3
     print(json.dumps({
         "cpus": cpus, "replicas": replicas, "pages": n_pages,
         "clusters": n_clusters, "wall_s": round(wall, 2),
         "jobs_wall_s": round(sum(r["wall_s"] for r in rows), 2),
         "driver_gaps_s": round(gap_total, 2),
         "n_jobs": len(rows),
+        "task_run_s": round(run_s, 1),
+        "task_cpu_s": round(agg["executorCpuTime"] / 1e9, 1),
+        "gc_s": round(agg["jvmGcTime"] / 1e3, 1),
+        "deser_s": round(agg["executorDeserializeTime"] / 1e3, 1),
+        "shuffle_fetch_wait_s": round(agg["shuffleFetchWaitTime"] / 1e3, 1),
+        "shuffle_write_time_s": round(agg["shuffleWriteTime"] / 1e9, 1),
+        "shuffle_write_gb": round(agg["shuffleWriteBytes"] / 1e9, 2),
+        "shuffle_read_gb": round(agg["shuffleReadBytes"] / 1e9, 2),
+        "spill_disk_gb": round(agg["diskBytesSpilled"] / 1e9, 2),
+        "spill_mem_gb": round(agg["memoryBytesSpilled"] / 1e9, 2),
+        "n_tasks": agg["numTasks"],
+        "core_utilization": round(run_s / (cpus * wall), 3),
+        "cpu_frac_of_run": round(
+            agg["executorCpuTime"] / 1e9 / run_s, 3) if run_s else None,
+        "top_stages": top_stages,
         "jobs": rows,
     }))
     spark.stop()
