@@ -45,15 +45,19 @@ def main():
     from wdd.sources.pages import synth_pages
     import bench as benchmod
 
-    heap = f"{max(2, 2 * cpus)}g"
-    spark = get_spark(
-        "wdd-profile", cpus=cpus,
-        extra_conf={
-            "spark.sql.shuffle.partitions": str(max(2 * cpus, replicas // 4, 8)),
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
-            "spark.driver.memory": heap,
-            "spark.ui.enabled": "true",
-        })
+    heap = os.environ.get("WDD_PROFILE_HEAP") or f"{max(2, 2 * cpus)}g"
+    extra = {
+        "spark.sql.shuffle.partitions": str(max(2 * cpus, replicas // 4, 8)),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.driver.memory": heap,
+        "spark.ui.enabled": "true",
+    }
+    # A/B knobs for chasing the task-CPU inflation between legs
+    if os.environ.get("WDD_JAVA_OPTS"):
+        extra["spark.driver.extraJavaOptions"] = os.environ["WDD_JAVA_OPTS"]
+    if os.environ.get("WDD_IO_CODEC"):
+        extra["spark.io.compression.codec"] = os.environ["WDD_IO_CODEC"]
+    spark = get_spark("wdd-profile", cpus=cpus, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
