@@ -136,7 +136,13 @@ def main():
     width = int(os.environ.get("WDD_INPUT_PARTS", "0")) or \
         int(min(4 * total_cores,
                 max(2 * total_cores, 16, n_base * replicas // 256)))
+    # checkpoint ONLY the columns the pipeline reads (url, warc_ts, html):
+    # localCheckpoint blocks are row-format, so a column the consumer never
+    # selects (text, lang here — the pipeline extracts from html) is still
+    # decompressed and streamed by every timed scan of the corpus. On the
+    # bandwidth-bound scaling legs those two columns are ~45% of the bytes.
     pages = (_replicate_pages(pages, replicas)
+             .select("url", "warc_ts", "html")
              .repartition(width)
              .localCheckpoint(eager=True))
     truth = _replicate_truth(truth, replicas)
