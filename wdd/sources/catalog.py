@@ -99,6 +99,33 @@ class CatalogWriter:
                 raise ValueError(f"unknown transform {kind!r}")
         return df.writeTo(f"{self.root}.{name}").partitionedBy(*transforms)
 
+    def materialize_identity_table(self, df: DataFrame, name: str,
+                                   namespace: str = "spark_catalog.default"
+                                   ) -> None:
+        """The one v2 catalog write this sandbox executes END-TO-END:
+        identity partition transforms go through Spark's built-in
+        V2SessionCatalog (CREATE TABLE ... USING parquet PARTITIONED BY
+        (col)), so the `no_captures` and `job_ledger` layouts commit real
+        partitioned tables with no Iceberg jar. Bucket-transform tables
+        still need Iceberg (V2SessionCatalog rejects transform
+        partitioning) and stay dry-run gated in `iceberg_writer`.
+
+        The session catalog reads created tables back as v1, which
+        supports neither RTAS nor v2 append — so replace semantics here
+        are DROP + CREATE: a metadata-path difference only, the committed
+        files and partition layout are identical to what an Iceberg RTAS
+        commits for an identity spec."""
+        spec = PIPELINE_TABLE_SPECS[name]
+        if any(kind != "identity" for kind, _ in spec):
+            raise ValueError(
+                f"{name!r} declares transform partitioning; executing it "
+                "needs an Iceberg catalog on the classpath")
+        full = f"{namespace}.{name}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {full}")
+        (df.writeTo(full).using("parquet")
+           .partitionedBy(*[F.col(c) for _, c in spec])
+           .create())
+
     def write_bucketed(self, df: DataFrame, name: str,
                        bucket_col: str = "url") -> None:
         """Write `df` bucketed by hash(bucket_col) into cfg.url_buckets."""
