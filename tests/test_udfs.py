@@ -94,3 +94,51 @@ def test_simhash_bytes_udf_256_reference_prod_config(spark):
     from wdd.kernels.simhash import pack_simhash_to_bytes
     assert packed == pack_simhash_to_bytes(h, 256)
     assert base64.b64decode(base64.b64encode(packed)) == packed
+
+
+def test_fused_signatures_matches_separate_udfs(spark, sf_dir):
+    """The fused one-round signatures UDF is bit-identical to the separate
+    extract -> simhash/minhash plan at BOTH widths, and evaluates once per
+    row even when all three struct fields are selected (one ArrowEvalPython
+    node, one udf instance in the physical plan)."""
+    html_df = (spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+               .selectExpr("doc_id",
+                           "concat('<html><body><p>', text, "
+                           "'</p></body></html>') AS html"))
+
+    sep = html_df.select(
+        "doc_id", udfs.extract_features_udf("html").alias("x"))
+    sep = sep.localCheckpoint(eager=True).select(
+        "doc_id", F.col("x.text").alias("text"),
+        udfs.simhash64_udf("x.features").alias("simhash64"),
+        udfs.minhash128_udf("x.text").alias("signature"))
+
+    fused64 = html_df.select(
+        "doc_id", udfs.make_signatures_udf(64)("html").alias("x")) \
+        .select("doc_id", F.col("x.text").alias("text"),
+                F.col("x.simhash64").alias("simhash64"),
+                F.col("x.signature").alias("signature"))
+
+    a = {r.doc_id: r for r in sep.collect()}
+    b = {r.doc_id: r for r in fused64.collect()}
+    assert a.keys() == b.keys() and len(a) == 40
+    for k in a:
+        assert (a[k].text, a[k].simhash64, a[k].signature) == \
+            (b[k].text, b[k].simhash64, b[k].signature)
+
+    plan = fused64._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("signatures_udf") == 1
+
+    # wide path: sim_parts must equal the separate parts UDF's output
+    sep256 = html_df.select(
+        "doc_id", udfs.extract_features_udf("html").alias("x"))
+    sep256 = sep256.localCheckpoint(eager=True).select(
+        "doc_id",
+        udfs.make_simhash_parts_udf(256)("x.features").alias("sim_parts"))
+    fused256 = html_df.select(
+        "doc_id", udfs.make_signatures_udf(256)("html").alias("x")) \
+        .select("doc_id", F.col("x.sim_parts").alias("sim_parts"))
+    a = {r.doc_id: r.sim_parts for r in sep256.collect()}
+    b = {r.doc_id: r.sim_parts for r in fused256.collect()}
+    assert a == b

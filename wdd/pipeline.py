@@ -102,10 +102,13 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     udf_parallelism = max(spark.sparkContext.defaultParallelism, 32)
 
     # -- stage: per-digest signatures (the UDF hot path, A6 rewrite).
-    # Extraction is materialized BEFORE the hash UDFs: referencing two fields
-    # of one UDF-produced struct re-evaluates the UDF per reference, and
-    # chaining Python UDFs in one plan serializes their Arrow rounds —
-    # measured 2-4x slower than the two-step plan.
+    # ONE fused Arrow round: html -> struct(text, sim, signature). The
+    # earlier two-step plan (extract materialized, then hash UDFs) shipped
+    # the token-weight features map out of Python and straight back in —
+    # the largest Arrow payload of the stage; fused, features never cross
+    # the process boundary and text crosses once (make_signatures_udf).
+    # Selecting the struct's fields does NOT re-evaluate the UDF: Spark
+    # extracts one ArrowEvalPython node per distinct UDF call.
     # f=64 (north-star) uses the scalar long simhash64; any other byte-
     # aligned f (the reference's PROD config is 256, conf.yml.example:2)
     # flows an array<long> of f/64 words through the same stages — the
@@ -130,18 +133,12 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         else:
             uniq = prepped.select("digest", "html") \
                 .dropDuplicates(["digest"]).repartition(udf_parallelism)
-            feats = uniq.select(
-                "digest", udfs.extract_features_udf("html").alias("x"))
-            feats = feats.localCheckpoint(eager=True) if eager_stages \
-                else feats.persist()
-            sim_expr = (udfs.make_simhash_parts_udf(
-                cfg.simhash_size, cfg.simhash_hash)("x.features") if wide
-                else udfs.simhash64_udf("x.features"))
-            sigs = feats.select(
-                "digest", F.col("x.text").alias("text"),
-                sim_expr.alias(sim_col),
-                udfs.minhash128_udf("x.text").alias("signature"),
-            )
+            fused = udfs.make_signatures_udf(cfg.simhash_size,
+                                             cfg.simhash_hash)
+            sigs = uniq.select("digest", fused("html").alias("x")) \
+                .select("digest", F.col("x.text").alias("text"),
+                        F.col(f"x.{sim_col}").alias(sim_col),
+                        F.col("x.signature").alias("signature"))
         sigs = mat("signatures", sigs, t, shared=True)
 
     # -- stage: page-level simhashes table (join back on digest). Only the

@@ -25,15 +25,15 @@ def _signature_batch(batch: DataFrame, cfg: WddConfig = DEFAULT) -> DataFrame:
     wide = cfg.simhash_size != 64
     prepped = D.with_page_id(D.with_digest(batch))
     uniq = prepped.select("digest", "html").dropDuplicates(["digest"])
-    sim_expr = (udfs.make_simhash_parts_udf(
-        cfg.simhash_size, cfg.simhash_hash)("x.features") if wide
-        else udfs.simhash64_udf("x.features"))
-    sigs = uniq.select(
-        "digest", udfs.extract_features_udf("html").alias("x")
-    ).select(
+    # same fused one-Arrow-round signature UDF as the batch pipeline
+    # (wdd/pipeline.py signatures stage) — identical kernels, so an
+    # incremental drain and a batch run produce identical rows
+    fused = udfs.make_signatures_udf(cfg.simhash_size, cfg.simhash_hash)
+    sigs = uniq.select("digest", fused("html").alias("x")).select(
         "digest",
-        sim_expr.alias("sim_parts" if wide else "simhash64"),
-        udfs.minhash128_udf("x.text").alias("signature"),
+        F.col("x.sim_parts" if wide else "x.simhash64")
+         .alias("sim_parts" if wide else "simhash64"),
+        F.col("x.signature").alias("signature"),
     )
     return prepped.select("url", "warc_ts", "digest", "page_id") \
         .join(sigs, "digest")

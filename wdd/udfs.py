@@ -57,6 +57,49 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return pd.Series([_extract.extract_text(h) for h in html])
 
 
+def make_signatures_udf(simhash_size: int = 64,
+                        hash_name: str = DEFAULT.simhash_hash):
+    """T1+T3+MinHash fused in ONE Arrow round: html -> struct(text,
+    simhash64|sim_parts, signature).
+
+    This is the signature hot path's boundary-bytes optimization: the
+    separate extract -> hash UDF plan ships the token-weight features MAP
+    out of Python and straight back in (map serialization is the largest
+    Arrow payload of the stage — one child entry per distinct token), and
+    text out/in once more. Fused, features never cross the boundary and
+    text crosses once. Per-batch vectorization is identical to the
+    separate UDFs (same kernels, bit-identical outputs — pinned by
+    tests/test_udfs.py::test_fused_signatures_matches_separate_udfs).
+    Safe under column pruning/collapse: Spark extracts one ArrowEvalPython
+    node per distinct UDF call, so selecting all three struct fields
+    still evaluates the UDF once per row."""
+    wide = simhash_size != 64
+    sim_field = (StructField("sim_parts", ArrayType(LongType())) if wide
+                 else StructField("simhash64", LongType()))
+    out_type = StructType([
+        StructField("text", StringType()),
+        sim_field,
+        StructField("signature", ArrayType(IntegerType())),
+    ])
+
+    @pandas_udf(out_type)
+    def signatures_udf(html: pd.Series) -> pd.DataFrame:
+        texts = [_extract.extract_text(h) for h in html]
+        feats = [dict(Counter(t.split())) if t else {} for t in texts]
+        if wide:
+            sims = _simhash.simhash_parts_batch(feats, simhash_size,
+                                                hash_name)
+        else:
+            sims = list(_simhash.simhash64_batch(feats, hash_name=hash_name))
+        sigs = [s.tolist() for s in _minhash.minhash_batch(texts)]
+        return pd.DataFrame({
+            "text": texts,
+            ("sim_parts" if wide else "simhash64"): sims,
+            "signature": sigs,
+        })
+    return signatures_udf
+
+
 @pandas_udf(LongType())
 def simhash64_udf(features: pd.Series) -> pd.Series:
     """T3 at f=64 with the production blake2b token hash."""
