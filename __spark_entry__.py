@@ -211,6 +211,32 @@ def q_dictionary_encode(spark, sf_dir):
         .select("digest", "first_doc", "hash_id")
 
 
+def q_samesim_star_surrogate(spark, sf_dir):
+    """Round-4 same-simhash edge source (wdd/pipeline.py edges_samesim /
+    VERDICT r3 gap #1) oracled directly: surrogate sim = md5 of the SORTED
+    token bag — reorder-invariant exactly the way the real simhash is
+    bag-invariant (reference simhash features are token counts,
+    discover.py:49-53). Planted reorder variants (doc_id % 7 == 2 at
+    +3,000,000; a second variant per doc_id % 14 == 2 at +4,000,000, giving
+    3-member groups) share the base row's sim under a DIFFERENT identity,
+    and the REAL star-edge operator the pipeline stage calls
+    (wdd.operators.dedup.exact_dup_edges, group-min star) must edge every
+    variant to its group min — restated in ANSI SQL by the oracle."""
+    from wdd.operators.dedup import exact_dup_edges
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bag = F.md5(F.concat_ws(" ", F.sort_array(F.split(F.col("text"), " "))))
+    base = docs.select(F.col("doc_id").cast("long").alias("id"),
+                       bag.alias("sim"))
+    rev = docs.where(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 3000000).cast("long").alias("id"),
+        bag.alias("sim"))
+    rot = docs.where(F.col("doc_id") % 14 == 2).select(
+        (F.col("doc_id") + 4000000).cast("long").alias("id"),
+        bag.alias("sim"))
+    c = base.unionByName(rev).unionByName(rot)
+    return exact_dup_edges(c, "sim", "id").select("a", "b")
+
+
 def q_pigeonhole_surrogate(spark, sf_dir):
     """J2's block-join logic against a SQL oracle: a 60-bit surrogate hash
     (md5 prefix) stands in for the simhash so DuckDB can verify the
@@ -943,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_encode": q_dictionary_encode,
         "pigeonhole_surrogate": q_pigeonhole_surrogate,
         "pigeonhole256_surrogate": q_pigeonhole256_surrogate,
+        "samesim_star_surrogate": q_samesim_star_surrogate,
         "cosine_topk": q_cosine_topk,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1064,6 +1091,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, first_doc,
                    (row_number() OVER (ORDER BY first_doc) - 1)::BIGINT AS hash_id
             FROM firsts
+        """,
+        "samesim_star_surrogate": """
+            WITH bagged AS (
+              SELECT doc_id::BIGINT AS id,
+                     md5(array_to_string(list_sort(string_split(text, ' ')),
+                                         ' ')) AS sim
+              FROM documents
+              UNION ALL
+              SELECT (doc_id + 3000000)::BIGINT,
+                     md5(array_to_string(list_sort(string_split(text, ' ')),
+                                         ' '))
+              FROM documents WHERE doc_id % 7 = 2
+              UNION ALL
+              SELECT (doc_id + 4000000)::BIGINT,
+                     md5(array_to_string(list_sort(string_split(text, ' ')),
+                                         ' '))
+              FROM documents WHERE doc_id % 14 = 2
+            ),
+            mins AS (SELECT sim, min(id) AS a FROM bagged GROUP BY sim)
+            SELECT m.a, b.id AS b
+            FROM bagged b JOIN mins m USING (sim)
+            WHERE b.id <> m.a
         """,
         "pigeonhole_surrogate": f"""
             {corpus},
