@@ -358,6 +358,39 @@ def q_fingerprint(spark, sf_dir):
         "doc_id", "fingerprint")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word 4-gram overlap vs a deterministic
+    eval split (doc_id % 19 == 3 stands in for the benchmark suite).
+    Eval grams are distinct-ed and BROADCAST; the training side never
+    shuffles on a gram key (wdd/operators/curation.py)."""
+    from wdd.operators.curation import decontaminate
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") % 19 == 3)
+    train = docs.where(F.col("doc_id") % 19 != 3)
+    return (decontaminate(train, eval_df, n=4)
+            .select("doc_id", "n_hit_grams", "contaminated"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals: mode-occurrence fraction of
+    the top token / bigram / trigram + pass flag."""
+    from wdd.operators.curation import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round("top_token_frac", 4).alias("top_token_frac"),
+        F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+        F.round("top_trigram_frac", 4).alias("top_trigram_frac"),
+        "repetition_ok")
+
+
+def q_domain_cap_sample(spark, sf_dir):
+    """Per-domain frequency cap: deterministic hash-ordered sample of at
+    most 10 documents per source (salted two-phase window for hot keys)."""
+    from wdd.operators.curation import cap_per_key
+    return (cap_per_key(_docs(spark, sf_dir), "source", 10)
+            .select("doc_id", "source", "sample_rank"))
+
+
 def q_compress_index(spark, sf_dir):
     """A4+A5 bulk compress: per-key first-seen dictionary encoding of values
     plus y/m/d nesting (wdd/operators/lookup.py compress_captures_df),
@@ -975,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "domain_cap_sample": q_domain_cap_sample,
         "bottomk_sketch": q_bottomk_sketch,
         "compress_index": q_compress_index,
         "json_props": q_json_props,
@@ -1279,6 +1315,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 3),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS gram
+              FROM toks WHERE len(t) >= 4),
+            eval_g AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 19 = 3),
+            hits AS (
+              SELECT grams.doc_id, count(*) AS n_hit_grams
+              FROM grams JOIN eval_g USING (gram)
+              WHERE grams.doc_id % 19 <> 3
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+                   coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 19 <> 3
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents),
+            uni AS (
+              SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS f,
+                     max(c)::DOUBLE / sum(c) AS raw
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+                    GROUP BY 1, 2)
+              GROUP BY 1),
+            bi AS (
+              SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS f,
+                     max(c)::DOUBLE / sum(c) AS raw
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(
+                                   generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+                          FROM toks WHERE len(t) >= 2)
+                    GROUP BY 1, 2)
+              GROUP BY 1),
+            tri AS (
+              SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS f
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(
+                                   generate_series(1, len(t) - 2),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+                          FROM toks WHERE len(t) >= 3)
+                    GROUP BY 1, 2)
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   uni.f AS top_token_frac,
+                   bi.f AS top_bigram_frac,
+                   tri.f AS top_trigram_frac,
+                   (coalesce(uni.raw, 0) <= 0.1357
+                    AND coalesce(bi.raw, 0) <= 0.0623) AS repetition_ok
+            FROM documents d
+            LEFT JOIN uni USING (doc_id)
+            LEFT JOIN bi USING (doc_id)
+            LEFT JOIN tri USING (doc_id)
+        """,
+        "domain_cap_sample": r"""
+            SELECT doc_id, source, sample_rank
+            FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 10
         """,
         "compress_index": """
             WITH idx AS (

@@ -1,0 +1,85 @@
+"""Tests for the corpus-hygiene curation operators: benchmark
+decontamination, repetition signals, per-domain cap sampling."""
+import pytest
+from pyspark.sql import functions as F
+
+from wdd.operators.curation import cap_per_key, decontaminate, repetition_stats
+
+
+def test_decontaminate_flags_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the capital of france is paris of course")], ["doc_id", "text"])
+    train = spark.createDataFrame([
+        (1, "everyone knows the capital of france is paris indeed"),  # hit
+        (2, "a totally unrelated sentence about spark shuffles"),     # clean
+        (3, "too short"),                                             # < n toks
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in decontaminate(train, eval_df, n=4).collect()}
+    assert out[1].contaminated and out[1].n_hit_grams >= 3
+    assert not out[2].contaminated and out[2].n_hit_grams == 0
+    assert not out[3].contaminated
+    assert len(out) == 3  # every training row survives with a flag
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # the same eval gram repeated in a train doc counts once
+    eval_df = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+    train = spark.createDataFrame([(1, "a b c d x a b c d")],
+                                  ["doc_id", "text"])
+    row = decontaminate(train, eval_df, n=4).collect()[0]
+    assert row.n_hit_grams == 1
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    eval_df = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+    train = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = decontaminate(train, eval_df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_flags_looping_doc(spark):
+    df = spark.createDataFrame([
+        (1, "spam ham spam ham spam ham spam ham spam ham"),
+        (2, "each word here appears exactly once so the bigram mode stays"
+            " low and this clean document passes both repetition checks"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_token_frac == pytest.approx(0.5)
+    assert out[1].top_bigram_frac == pytest.approx(5 / 9)
+    assert not out[1].repetition_ok
+    assert out[2].top_token_frac == pytest.approx(1 / 20)
+    assert out[2].repetition_ok
+
+
+def test_repetition_stats_single_token_doc(spark):
+    # no bigrams/trigrams -> null fracs, flag still defined
+    out = repetition_stats(
+        spark.createDataFrame([(1, "lonely")], ["doc_id", "text"])).collect()[0]
+    assert out.top_token_frac == pytest.approx(1.0)
+    assert out.top_bigram_frac is None and out.top_trigram_frac is None
+    assert not out.repetition_ok  # token mode fraction 1.0 > threshold
+
+
+def test_cap_per_key_bounds_and_determinism(spark):
+    rows = [(i, f"host{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = cap_per_key(df, "source", 5).collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    assert set(per_key) == {"host0", "host1", "host2"}
+    for key, members in per_key.items():
+        assert sorted(r for r, _ in members) == [1, 2, 3, 4, 5]
+    # deterministic under repartitioning (salted phase must not change
+    # the selected set)
+    out2 = cap_per_key(df.repartition(13), "source", 5).collect()
+    assert {(r.doc_id, r.sample_rank) for r in out2} == \
+           {(r.doc_id, r.sample_rank) for r in out}
+
+
+def test_cap_per_key_small_groups_kept_whole(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               ["doc_id", "source"])
+    out = cap_per_key(df, "source", 10).collect()
+    assert len(out) == 3

@@ -91,6 +91,12 @@ def main():
         plan_of(e.q_job_dedup(spark, SF)),
     )
 
+    sections["decontaminate"] = (
+        "Benchmark decontamination — the eval n-gram set must broadcast so "
+        "the training corpus never shuffles on a gram key:",
+        plan_of(e.q_decontaminate(spark, SF)),
+    )
+
     checks = []
     p = sections["scan_pushdown"][1]
     checks.append(("scan PushedFilters non-empty",
@@ -118,6 +124,8 @@ def main():
                    and "CartesianProduct" not in sections["pigeonhole256"][1]))
     checks.append(("job dedup is an anti-join",
                    "LeftAnti" in sections["job_dedup"][1]))
+    checks.append(("decontaminate eval grams broadcast",
+                   "BroadcastHashJoin" in sections["decontaminate"][1]))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:

@@ -1,0 +1,139 @@
+"""Training-data curation operators over `documents`-shaped tables:
+benchmark decontamination, repetition-based quality signals, and
+per-domain frequency-cap sampling.
+
+These are the corpus-hygiene stages a web-scale LLM pipeline runs between
+dedup and training-set export. Everything here is pure pyspark.sql
+built-ins (JVM, whole-stage codegen) and fully SQL-oracle-checkable.
+
+Scale notes (100 TB shapes):
+  * decontaminate: the benchmark n-gram set is the SMALL side by
+    construction (eval suites are MBs, the corpus is TBs) — it is
+    distinct-ed and broadcast, so the training side never shuffles; the
+    per-doc hit count is a map-side partial aggregate over exploded grams.
+  * repetition_stats: explode + two hash aggregates keyed by (doc_id,
+    gram); both levels get map-side combine and no reducer ever holds more
+    than one document's gram counts for one gram.
+  * cap_per_key: one shuffle on the cap key. A hot domain with 10^8 pages
+    makes a fat window partition; the rank is consumed only up to k, so
+    for mega-keys pre-thin with a cheap per-partition local top-(k) on the
+    same hash order before the global window (same result set, bounded
+    partition size). The local pre-thin is applied automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _word_ngrams(toks, n: int):
+    """Word n-grams of an array column as space-joined strings.
+
+    Empty array when the document has fewer than n tokens (F.sequence
+    would otherwise count DOWN and fabricate indices).
+    """
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def tokens_col(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 4,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap.
+
+    The standard LLM hygiene step (GPT-3 appendix C / PaLM / Llama style):
+    a training document is contaminated if it shares any length-n word
+    n-gram with the evaluation suite. Returns every training row with
+    `n_hit_grams` (count of DISTINCT eval grams it contains) and a
+    `contaminated` flag, so callers can either drop rows or excise spans.
+
+    Plan shape: eval grams -> distinct -> **broadcast** inner join against
+    the exploded train grams (the eval suite is always the tiny side),
+    count per doc, then broadcast-safe left join back onto the train
+    table so clean documents keep n_hit_grams = 0. The train corpus is
+    scanned twice but never shuffled on a gram key.
+    """
+    t_toks = train.select(id_col, _word_ngrams(tokens_col(text_col), n)
+                          .alias("_grams"))
+    t_grams = t_toks.select(
+        id_col, F.explode(F.array_distinct("_grams")).alias("gram"))
+    e_grams = (eval_df
+               .select(F.explode(_word_ngrams(tokens_col(text_col), n))
+                       .alias("gram"))
+               .distinct())
+    hits = (t_grams.join(F.broadcast(e_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_grams")))
+    return (train.join(hits, id_col, "left")
+            .withColumn("n_hit_grams",
+                        F.coalesce("n_hit_grams", F.lit(0)).cast("long"))
+            .withColumn("contaminated", F.col("n_hit_grams") > 0))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_token_max: float = 0.1357,
+                     top_bigram_max: float = 0.0623) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1 family).
+
+    Per document: the occurrence fraction of the most frequent token,
+    bigram, and trigram (count of the mode over the total gram count).
+    `repetition_ok` is false when the token or bigram mode fraction
+    exceeds its threshold — the "document is one phrase looping"
+    signal. Thresholds default to non-ratio-representable decimals so
+    equality at the boundary cannot occur.
+
+    Pure explode + hash-aggregate; both groupBys combine map-side.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(id_col, toks.alias("_t"))
+
+    def mode_frac(gram_col, out: str) -> DataFrame:
+        g = base.select(id_col, F.explode(gram_col).alias("g"))
+        per = g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return per.groupBy(id_col).agg(
+            (F.max("c") / F.sum("c")).cast("double").alias(out))
+    uni = mode_frac(F.col("_t"), "top_token_frac")
+    bi = mode_frac(_word_ngrams(F.col("_t"), 2), "top_bigram_frac")
+    tri = mode_frac(_word_ngrams(F.col("_t"), 3), "top_trigram_frac")
+    out = (df.join(uni, id_col, "left")
+           .join(bi, id_col, "left").join(tri, id_col, "left"))
+    return out.withColumn(
+        "repetition_ok",
+        (F.coalesce("top_token_frac", F.lit(0.0)) <= top_token_max)
+        & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= top_bigram_max))
+
+
+def cap_per_key(df: DataFrame, key_col: str, k: int,
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-domain frequency cap: keep at most k rows per key, chosen by a
+    deterministic hash order (md5 of the id), so the kept subset is a
+    uniform, reproducible sample independent of ingest order.
+
+    This is the "no single host dominates the training mix" sampling cap.
+    Two-phase for skew: a SALTED first pass ranks within (key, salt) and
+    keeps k per subgroup, so a hot domain with 10^8 rows is sorted as
+    `salts` bounded partitions instead of one fat one; the global window
+    then ranks at most k * salts survivors per key. Dropping a row ranked
+    > k inside its salt subgroup can never remove a global top-k row, so
+    the result is independent of the salting.
+    """
+    salts = 64
+    order = F.md5(F.col(id_col).cast("string"))
+    local = Window.partitionBy(
+        key_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    ).orderBy(order, id_col)
+    survivors = (df.withColumn("_lrk", F.row_number().over(local))
+                 .where(F.col("_lrk") <= k).drop("_lrk"))
+    w = Window.partitionBy(key_col).orderBy(order, id_col)
+    return (survivors.withColumn("sample_rank",
+                                 F.row_number().over(w).cast("long"))
+            .where(F.col("sample_rank") <= k))
