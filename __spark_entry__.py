@@ -823,6 +823,36 @@ def q_ann_lsh_topk(spark, sf_dir):
         F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate NN: deterministic coarse centroids
+    (vec_id % 37 == 0 subsample stands in for a trained codebook),
+    nearest-cell assignment, nprobe=2 probing, exact in-cell re-rank
+    (wdd/operators/similarity.py ivf_topk). The oracle restates the same
+    IVF semantics in SQL — assignment argmax, probe top-2, rerank —
+    so the approximate result itself is value-checked, not just its
+    shape."""
+    from wdd.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+    cent = emb.where(F.col("vec_id") % 37 == 0) \
+        .select(F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("vec"))
+    q = emb.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, q, k=5, nprobe=2, centroids=cent).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"))
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget shard packing via two-phase distributed prefix sum;
+    the oracle is the naive single global window it must equal."""
+    from wdd.operators.curation import shard_pack
+    return shard_pack(_docs(spark, sf_dir), budget=2000) \
+        .select("doc_id", "n_tokens", "shard_id")
+
+
 def q_capture_diff(spark, sf_dir):
     """The reference's end purpose — which captures of one URL differ —
     driver-oracled: capture_diff_matrix (pairwise Hamming over one key's
@@ -1026,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_minhash_pairs": q_lsh_minhash_pairs,
         "substring_pairs": q_substring_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "shard_pack": q_shard_pack,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
@@ -1634,6 +1666,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank::BIGINT AS rank,
                    round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "ivf_topk": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+              SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id % 37 = 0),
+            c_assign AS (
+              SELECT vec_id, cell_id FROM (
+                SELECT c.vec_id, cent.cell_id,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                  cent.cell_id) AS r
+                FROM c CROSS JOIN cent)
+              WHERE r = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+            q_probe AS (
+              SELECT query_id, cell_id FROM (
+                SELECT q.query_id, cent.cell_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                                  cent.cell_id) AS r
+                FROM q CROSS JOIN cent)
+              WHERE r <= 2),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cos
+              FROM c
+              JOIN c_assign USING (vec_id)
+              JOIN q_probe USING (cell_id)
+              JOIN q USING (query_id)),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank,
+                     cos
+              FROM scored)
+            SELECT query_id, vec_id, rank::BIGINT AS rank,
+                   round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "shard_pack": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t <> ''))::BIGINT AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   ((sum(n_tokens) OVER (
+                       ORDER BY md5(doc_id::VARCHAR), doc_id)
+                     - n_tokens) // 2000)::BIGINT AS shard_id
+            FROM toks
         """,
         "capture_diff": """
             WITH caps AS (

@@ -83,3 +83,73 @@ def test_cap_per_key_small_groups_kept_whole(spark):
                                ["doc_id", "source"])
     out = cap_per_key(df, "source", 10).collect()
     assert len(out) == 3
+
+
+def test_shard_pack_equals_global_window(spark):
+    # two-phase prefix sum must equal the naive single global cumsum,
+    # at several bucket widths and under input repartitioning
+    from wdd.operators.curation import shard_pack
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    df = spark.createDataFrame(
+        [(i, "w " * (5 + i % 37)) for i in range(300)], ["doc_id", "text"])
+    order = F.md5(F.col("doc_id").cast("string"))
+    naive_w = (Window.orderBy(order, "doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = (df.select("doc_id",
+                       F.size(F.filter(F.split("text", " "),
+                                       lambda t: t != "")).cast("long")
+                       .alias("n_tokens"))
+             .withColumn("shard_id",
+                         F.floor((F.sum("n_tokens").over(naive_w)
+                                  - F.col("n_tokens")) / 100).cast("long")))
+    want = {(r.doc_id, r.n_tokens, r.shard_id) for r in naive.collect()}
+    for buckets in (4, 16, 256):
+        got = {(r.doc_id, r.n_tokens, r.shard_id)
+               for r in shard_pack(df.repartition(7), budget=100,
+                                   buckets=buckets).collect()}
+        assert got == want, f"buckets={buckets}"
+    # budget respected in aggregate: every shard except the last holds
+    # at least one doc and consecutive shard ids
+    shards = sorted({s for _, _, s in want})
+    assert shards == list(range(len(shards)))
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    # with nprobe == n_centroids the probed set is the whole corpus, so
+    # IVF must reproduce exact brute-force top-k
+    from wdd.operators.similarity import cosine_topk, ivf_topk
+    import pyspark.sql.functions as F
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = (emb.where(F.col("vec_id") % 11 == 0)
+            .select(F.col("vec_id").alias("cell_id"),
+                    F.col("embedding").alias("vec")))
+    q = emb.where(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.rank): r.vec_id
+             for r in cosine_topk(emb, q, k=3).collect()}
+    ivf = {(r.query_id, r.rank): r.vec_id
+           for r in ivf_topk(emb, q, k=3, nprobe=4, centroids=cent).collect()}
+    assert ivf == exact
+
+
+def test_ivf_topk_rank1_is_self(spark):
+    # a query drawn from the corpus always lands in its own cell, so the
+    # top hit is itself at cosine 1 even at nprobe=1
+    from wdd.operators.similarity import ivf_topk
+    import pyspark.sql.functions as F
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = (emb.where(F.col("vec_id") % 13 == 0)
+            .select(F.col("vec_id").alias("cell_id"),
+                    F.col("embedding").alias("vec")))
+    q = emb.where(F.col("vec_id") == 25) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, q, k=2, nprobe=1, centroids=cent).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert top.vec_id == 25 and abs(top.cosine - 1.0) < 1e-9

@@ -112,6 +112,46 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= top_bigram_max))
 
 
+def shard_pack(df: DataFrame, budget: int, id_col: str = "doc_id",
+               text_col: str = "text", buckets: int = 256) -> DataFrame:
+    """Token-budget shard packing for training-set export: lay the corpus
+    out in a deterministic hash order and cut it into shards of ~`budget`
+    tokens (a document's shard is the one its starting token offset falls
+    in). Output: (id, n_tokens, shard_id).
+
+    The naive form — a running sum over ONE global ORDER BY — is a
+    single-partition sort, the classic 100 TB scale-killer. This runs the
+    textbook two-phase distributed prefix sum instead: the hash order's
+    leading byte range-partitions the corpus into `buckets` buckets, the
+    heavy running sum is a window per bucket, and the cross-bucket offsets
+    come from a `buckets`-row aggregate cumulated on the driver-sized side
+    and broadcast back. Same result as the global window, no global sort.
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    toks = (df.select(F.col(id_col),
+                      F.size(tokens_col(text_col)).cast("long")
+                      .alias("n_tokens"))
+            .withColumn("_ord", order)
+            # leading-byte range bucket: monotonic in the hash order, so
+            # bucket ascending + in-bucket order == the global order
+            .withColumn("_bkt", F.floor(
+                F.conv(F.substring("_ord", 1, 2), 16, 10).cast("long")
+                * min(buckets, 256) / 256).cast("long")))
+    local_w = (Window.partitionBy("_bkt").orderBy("_ord", id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = toks.withColumn("_cum", F.sum("n_tokens").over(local_w))
+    totals_w = (Window.orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (toks.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+               .withColumn("_off", F.coalesce(F.sum("_tot").over(totals_w),
+                                              F.lit(0))))
+    return (local.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")
+            .withColumn("shard_id",
+                        F.floor((F.col("_off") + F.col("_cum")
+                                 - F.col("n_tokens")) / budget).cast("long"))
+            .select(id_col, "n_tokens", "shard_id"))
+
+
 def cap_per_key(df: DataFrame, key_col: str, k: int,
                 id_col: str = "doc_id") -> DataFrame:
     """Per-domain frequency cap: keep at most k rows per key, chosen by a

@@ -210,3 +210,54 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(qid_col, id_col, "cosine", "rank"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into centroid cells, probe each query's `nprobe` nearest cells, then
+    exactly re-rank inside the probed cells.
+
+    `centroids` is any small (cell_id, vec) table — a trained k-means
+    codebook in production; tests/oracles use a deterministic corpus
+    subsample, which keeps the whole operator SQL-expressible. Assignment
+    is a broadcast join + per-vector top-1 (ties to the lower cell_id):
+    one hash-shuffled window keyed by the vector id, rank consumed at 1,
+    so partitions stay balanced at any corpus size. The candidate join is
+    a cell equi-join — the same O(Q x N / C * nprobe) shape as FAISS
+    IVF-Flat, never a full cross product. Recall trades with nprobe
+    exactly like the sign-LSH path trades with bits.
+    """
+    if centroids is None:
+        raise ValueError("ivf_topk requires a centroids table")
+    cent = centroids.select(F.col("cell_id"), F.col("vec").alias("_ce"),
+                            _norm_col("vec").alias("_cen"))
+
+    def nearest_cells(df: DataFrame, key: str, n: int) -> DataFrame:
+        scored = (df.crossJoin(F.broadcast(cent))
+                  .withColumn("_cos",
+                              (dot_col("_v", "_ce")
+                               / (F.col("_n") * F.col("_cen"))).cast("double")))
+        w = Window.partitionBy(key).orderBy(F.desc("_cos"), F.col("cell_id"))
+        return (scored.withColumn("_cr", F.row_number().over(w))
+                .where(F.col("_cr") <= n)
+                .drop("_ce", "_cen", "_cos", "_cr"))
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                      _norm_col(vec_col).alias("_n"))
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_v"),
+                       _norm_col(vec_col).alias("_n"))
+    c_cells = nearest_cells(c, id_col, 1)
+    q_cells = (nearest_cells(q, qid_col, nprobe)
+               .withColumnRenamed("_v", "_qv").withColumnRenamed("_n", "_qn"))
+    scored = (c_cells.join(F.broadcast(q_cells), "cell_id")
+              .withColumn("cosine",
+                          (dot_col("_v", "_qv")
+                           / (F.col("_n") * F.col("_qn"))).cast("double"))
+              .dropDuplicates([qid_col, id_col]))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(qid_col, id_col, "cosine", "rank"))
