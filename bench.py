@@ -184,7 +184,9 @@ def main():
                      "top_customers", "cosine_topk", "lsh_minhash_pairs",
                      "pigeonhole_surrogate", "token_stats", "quality_scores",
                      "embedding_dup_pairs", "pigeonhole256_surrogate",
-                     "substring_pairs", "job_dedup"):
+                     "substring_pairs", "job_dedup", "decontaminate",
+                     "repetition_stats", "domain_cap_sample", "shard_pack",
+                     "ivf_topk"):
             t0 = time.monotonic()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - t0, 3)
