@@ -845,6 +845,15 @@ def q_ivf_topk(spark, sf_dir):
         F.round("cosine", 6).alias("cosine"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic source-mixture sampling: down-weight src0 to 20%,
+    src1 to 50%, keep the rest — md5-hash Bernoulli, zero shuffles."""
+    from wdd.operators.curation import mixture_sample
+    return (mixture_sample(_docs(spark, sf_dir),
+                           {"src0": 0.2, "src1": 0.5})
+            .select("doc_id", "source"))
+
+
 def q_shard_pack(spark, sf_dir):
     """Token-budget shard packing via two-phase distributed prefix sum;
     the oracle is the naive single global window it must equal."""
@@ -1057,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "mixture_sample": q_mixture_sample,
         "shard_pack": q_shard_pack,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
@@ -1707,6 +1717,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank::BIGINT AS rank,
                    round(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "mixture_sample": r"""
+            SELECT doc_id, source
+            FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                    / 4294967296.0
+                  < CASE source WHEN 'src0' THEN 0.2
+                                WHEN 'src1' THEN 0.5
+                                ELSE 1.0 END
         """,
         "shard_pack": r"""
             WITH toks AS (

@@ -153,3 +153,21 @@ def test_ivf_topk_rank1_is_self(spark):
     out = ivf_topk(emb, q, k=2, nprobe=1, centroids=cent).collect()
     top = [r for r in out if r.rank == 1][0]
     assert top.vec_id == 25 and abs(top.cosine - 1.0) < 1e-9
+
+
+def test_mixture_sample_rates_and_plan(spark):
+    from wdd.operators.curation import mixture_sample
+    rows = [(i, f"src{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, {"src0": 0.25}).collect()
+    kept0 = sum(1 for r in out if r.source == "src0")
+    kept1 = sum(1 for r in out if r.source == "src1")
+    assert kept1 == 1000                      # unlisted key keeps everything
+    assert 175 <= kept0 <= 325                # ~25% of 1000, hash-uniform
+    # deterministic: same ids survive on re-run
+    again = {r.doc_id for r in mixture_sample(df, {"src0": 0.25}).collect()}
+    assert {r.doc_id for r in out} == again
+    # embarrassingly parallel: the plan has no shuffle
+    plan = mixture_sample(df, {"src0": 0.25})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

@@ -112,6 +112,28 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= top_bigram_max))
 
 
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   key_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic rate-based mixture sampling: keep each row with
+    probability `rates[key]` (default 1.0 for unlisted keys), decided by a
+    uniform hash of the row id — the "up/down-weight sources to a target
+    training mix" step, reproducible across runs and engines.
+
+    The keep decision is `md5(id) < rate` with the first 8 md5 hex chars
+    read as a 32-bit fraction: embarrassingly parallel, zero shuffles,
+    no RNG state. The rate table rides the plan as a small CASE
+    expression (a broadcast-joined dim table works identically when the
+    key domain is large).
+    """
+    frac = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(float(1 << 32)))
+    rate = F.lit(1.0)
+    for k, r in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == k, F.lit(float(r))).otherwise(rate)
+    return df.where(frac < rate)
+
+
 def shard_pack(df: DataFrame, budget: int, id_col: str = "doc_id",
                text_col: str = "text", buckets: int = 256) -> DataFrame:
     """Token-budget shard packing for training-set export: lay the corpus
