@@ -862,6 +862,58 @@ def q_shard_pack(spark, sf_dir):
         .select("doc_id", "n_tokens", "shard_id")
 
 
+_BOILER = "cookie notice this site uses cookies accept to continue reading"
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet/C4-style corpus-wide line dedup: a 10-token boilerplate header
+    is planted on 2/3 of the docs (the fixture corpus has no natural line
+    structure, so line boundaries are fixed 10-token segments — documented
+    in wdd/operators/curation.py split_lines); every occurrence but the
+    first is removed. Output: per-doc line counts + cleaned text."""
+    from wdd.operators.curation import line_dedup
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 3 != 2, F.lit(_BOILER)),
+            F.col("text")).alias("text"))
+    return (line_dedup(corpus, min_docs=2, seg=10)
+            .select("doc_id", "n_lines", "n_removed", "text_clean"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: deterministic emails / phones / IPv4s are planted on
+    hash-chosen doc subsets (the word-salad fixture has none), then scrubbed
+    by the chained regexp pass; counts are per category, sequential
+    semantics (each category counted after the previous one's replacement),
+    restated identically in the oracle."""
+    from wdd.operators.curation import pii_scrub
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" contact u"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@ex-ample.org"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 1,
+                   F.concat(F.lit(" call +1-555-"),
+                            F.lpad((F.col("doc_id") * 7 % 10000)
+                                   .cast("string"), 4, "0")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 2,
+                   F.concat(F.lit(" from 10.0."),
+                            (F.col("doc_id") % 200).cast("string"),
+                            F.lit(".25 logged"))).otherwise(F.lit("")),
+        ).alias("text"))
+    return (pii_scrub(planted)
+            .select("doc_id", "text_scrubbed", "n_email", "n_phone",
+                    "n_ipv4"))
+
+
 def q_capture_diff(spark, sf_dir):
     """The reference's end purpose — which captures of one URL differ —
     driver-oracled: capture_diff_matrix (pairwise Hamming over one key's
@@ -1068,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "mixture_sample": q_mixture_sample,
         "shard_pack": q_shard_pack,
+        "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
@@ -1738,6 +1792,86 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(doc_id::VARCHAR), doc_id)
                      - n_tokens) // 2000)::BIGINT AS shard_id
             FROM toks
+        """,
+        "line_dedup": r"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     concat_ws(' ',
+                       CASE WHEN doc_id % 3 <> 2
+                            THEN 'cookie notice this site uses cookies accept to continue reading'
+                       END,
+                       text) AS text
+              FROM documents),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM corpus),
+            lines AS (
+              SELECT doc_id, i AS line_no,
+                     array_to_string(t[i*10+1:i*10+10], ' ') AS line
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(
+                             0, cast(ceil(len(t)/10.0) AS BIGINT) - 1)) AS i
+                    FROM toks WHERE len(t) > 0)),
+            stats AS (
+              SELECT line, count(DISTINCT doc_id) AS nd
+              FROM lines GROUP BY 1),
+            marked AS (
+              SELECT l.doc_id, l.line_no, l.line, s.nd,
+                     row_number() OVER (PARTITION BY l.line
+                                        ORDER BY l.doc_id, l.line_no) AS rn
+              FROM lines l JOIN stats s USING (line))
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_lines,
+                   coalesce(sum(CASE WHEN nd >= 2 AND rn > 1 THEN 1 END),
+                            0)::BIGINT AS n_removed,
+                   coalesce(string_agg(CASE WHEN nd < 2 OR rn = 1 THEN line END,
+                                       ' ' ORDER BY line_no),
+                            '') AS text_clean
+            FROM marked GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' contact u' || doc_id || '@ex-ample.org'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 6 = 1
+                             THEN ' call +1-555-'
+                                  || lpad(((doc_id*7) % 10000)::VARCHAR, 4, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 2
+                             THEN ' from 10.0.' || (doc_id % 200) || '.25 logged'
+                             ELSE '' END AS t0
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_email,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM planted),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                       '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT
+                       AS n_phone,
+                     regexp_replace(t1,
+                       '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}',
+                       '<PHONE>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                     '<IP>', 'g') AS text_scrubbed,
+                   n_email, n_phone,
+                   len(regexp_extract_all(t2,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
+                     AS n_ipv4
+            FROM s2
         """,
         "capture_diff": """
             WITH caps AS (

@@ -171,3 +171,66 @@ def test_mixture_sample_rates_and_plan(spark):
     plan = mixture_sample(df, {"src0": 0.25})._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_line_dedup_removes_all_but_first(spark):
+    from wdd.operators.curation import line_dedup
+    boiler = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"          # one exact segment
+    df = spark.createDataFrame([
+        (1, boiler + " u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        (2, boiler + " v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " + boiler),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in line_dedup(df, min_docs=2, seg=10).collect()}
+    # doc 1 holds the first occurrence (min doc_id, line_no) -> keeps it
+    assert out[1].n_removed == 0 and boiler in out[1].text_clean
+    assert out[2].n_removed == 1 and boiler not in out[2].text_clean
+    assert out[3].n_removed == 1 and boiler not in out[3].text_clean
+    assert out[3].text_clean == "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    assert all(r.n_lines == 2 for r in out.values())
+
+
+def test_line_dedup_within_doc_repeat_not_removed(spark):
+    from wdd.operators.curation import line_dedup
+    seg = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    # the same line twice in ONE doc: count-distinct-docs = 1 < min_docs,
+    # so both stay (corpus-level boilerplate removal, not intra-doc)
+    out = line_dedup(spark.createDataFrame([(1, seg + " " + seg)],
+                                           ["doc_id", "text"]),
+                     min_docs=2, seg=10).collect()[0]
+    assert out.n_removed == 0 and out.n_lines == 2
+
+
+def test_line_dedup_partial_tail_segment(spark):
+    from wdd.operators.curation import line_dedup
+    out = line_dedup(spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], ["doc_id", "text"]),
+        min_docs=2, seg=10).collect()[0]
+    assert out.n_lines == 2 and out.text_clean == "a b c d e f g h i j k l"
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from wdd.operators.curation import pii_scrub
+    df = spark.createDataFrame([
+        (1, "reach me at jane.doe+x@sub.example.co or +1-555-0100 thanks"),
+        (2, "server 192.168.0.17 answered"),
+        (3, "nothing sensitive here"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<EMAIL>" in out[1].text_scrubbed
+    assert "<PHONE>" in out[1].text_scrubbed
+    assert "jane" not in out[1].text_scrubbed
+    assert out[2].n_ipv4 == 1 and "<IP>" in out[2].text_scrubbed
+    assert out[3].text_scrubbed == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+def test_pii_scrub_sequential_counts(spark):
+    from wdd.operators.curation import pii_scrub
+    # the email is replaced before phone counting: digits inside the
+    # address never double-count as a phone
+    out = pii_scrub(spark.createDataFrame(
+        [(1, "mail 555-123-4567@dial.example.com now")],
+        ["doc_id", "text"])).collect()[0]
+    assert out.n_email == 1 and out.n_phone == 0

@@ -174,6 +174,91 @@ def shard_pack(df: DataFrame, budget: int, id_col: str = "doc_id",
             .select(id_col, "n_tokens", "shard_id"))
 
 
+def split_lines(text_col: str, seg: int = 10):
+    """Array of "lines" for line-level dedup. Real web text splits on
+    newline; the synthetic documents fixture is single-line, so line
+    boundaries are synthesized as fixed `seg`-token segments (deterministic
+    and engine-portable). Swapping in `F.split(text_col, "\\n")` is the
+    one-line change for corpora with real line structure."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.ceil(F.size(toks) / seg).cast("int") - 1)
+    segs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * seg + 1, seg)))
+    return F.when(F.size(toks) > 0, segs).otherwise(
+        F.array().cast("array<string>"))
+
+
+def line_dedup(df: DataFrame, min_docs: int = 2, seg: int = 10,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-wide line-level dedup (CCNet / C4 style): a line that occurs
+    in >= `min_docs` DISTINCT documents is boilerplate (headers, footers,
+    cookie banners); every occurrence except the FIRST — ordered by
+    (doc_id, line_no) — is removed. Returns one row per document:
+    n_lines, n_removed, and the cleaned text (kept lines re-joined).
+
+    Plan shape (100 TB): posexplode -> one hash-aggregate keyed by the
+    64-hex line hash carrying (count distinct doc, argmin first occurrence
+    via min(struct)) with map-side combine -> equi-join lines to their
+    hash stats (shuffle on the uniform hash key, no skew by construction
+    for non-degenerate corpora; a single mega-line — e.g. the empty line —
+    is pre-filtered by the non-empty guard) -> per-doc re-aggregate.
+    No windows, no global sort, nothing driver-sided.
+    """
+    lines = (df.select(id_col, F.posexplode(split_lines(text_col, seg))
+                       .alias("line_no", "line"))
+             .withColumn("h", F.md5("line")))
+    stats = lines.groupBy("h").agg(
+        F.countDistinct(id_col).alias("_nd"),
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("line_no").alias("p"))).alias("_first"))
+    marked = (lines.join(stats, "h")
+              .withColumn("_keep",
+                          (F.col("_nd") < min_docs)
+                          | ((F.col("_first.d") == F.col(id_col))
+                             & (F.col("_first.p") == F.col("line_no")))))
+    return (marked.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).cast("long")
+        .alias("n_removed"),
+        F.concat_ws(" ", F.array_compact(F.array_sort(F.collect_list(
+            F.when(F.col("_keep"),
+                   F.struct("line_no", "line")))).getField("line")))
+        .alias("text_clean")))
+
+
+# PII patterns: deliberately simple, anchored to the RE2 <-> java.util.regex
+# common dialect (no backrefs, no lookaround) so the same pattern string runs
+# in Spark and the DuckDB oracle. Real deployments swap in their compliance
+# library per batch inside the same plan shape.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction pass over a text column: replaces email / phone / IPv4
+    literals with typed placeholder tokens and counts hits per category.
+    Embarrassingly parallel, zero shuffles, whole-stage codegen (chained
+    regexp_replace + regexp_count) — the shape of every "scrub before
+    training" pass. Returns (id, text_scrubbed, n_email, n_phone, n_ipv4).
+    """
+    out = df.select(id_col, F.col(text_col).alias("text_scrubbed"))
+    for name, pat, tok in PII_PATTERNS:
+        # count BEFORE this pattern's replacement, AFTER the previous ones:
+        # sequential semantics, restated identically in the SQL oracle
+        out = out.withColumn("_c_" + name,
+                             F.regexp_count("text_scrubbed", F.lit(pat))
+                             .cast("long"))
+        out = out.withColumn("text_scrubbed",
+                             F.regexp_replace("text_scrubbed", pat, tok))
+    return out.select(
+        id_col, "text_scrubbed",
+        *[F.col("_c_" + n).alias(f"n_{n}") for n, _, _ in PII_PATTERNS])
+
+
 def cap_per_key(df: DataFrame, key_col: str, k: int,
                 id_col: str = "doc_id") -> DataFrame:
     """Per-domain frequency cap: keep at most k rows per key, chosen by a
