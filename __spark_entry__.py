@@ -914,6 +914,14 @@ def q_pii_scrub(spark, sf_dir):
                     "n_ipv4"))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smoothed idf, deterministic
+    term-asc tiebreak). Corpus-level document frequency + per-doc scores
+    — the classic salient-term / retrieval primitive."""
+    from wdd.operators.textstats import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def q_capture_diff(spark, sf_dir):
     """The reference's end purpose — which captures of one URL differ —
     driver-oracled: capture_diff_matrix (pairwise Hamming over one key's
@@ -1122,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": q_shard_pack,
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
+        "tfidf_topk": q_tfidf_topk,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
@@ -1872,6 +1881,33 @@ def oracle_sql() -> dict[str, str]:
                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
                      AS n_ipv4
             FROM s2
+        """,
+        "tfidf_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * (ln((n.n_docs + 1) / (dfreq.df_t + 1)) + 1)
+                       AS tfidf_raw
+              FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+            ranked AS (
+              SELECT doc_id, term, tf, tfidf_raw,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf_raw DESC, term ASC)
+                       AS rank
+              FROM scored)
+            SELECT doc_id, term, tf,
+                   round(tfidf_raw, 6) AS tfidf,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "capture_diff": """
             WITH caps AS (

@@ -234,3 +234,21 @@ def test_pii_scrub_sequential_counts(spark):
         [(1, "mail 555-123-4567@dial.example.com now")],
         ["doc_id", "text"])).collect()[0]
     assert out.n_email == 1 and out.n_phone == 0
+
+
+def test_line_dedup_partitioning_invariant(spark):
+    from wdd.operators.curation import line_dedup
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    rows = [(i, boiler + f" t{i}a t{i}b t{i}c t{i}d t{i}e t{i}f t{i}g"
+             f" t{i}h t{i}i t{i}j") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    outs = []
+    for width in (3, 17):
+        out = (line_dedup(df.repartition(width), min_docs=2, seg=10)
+               .orderBy("doc_id").collect())
+        outs.append([(r.doc_id, r.n_lines, r.n_removed, r.text_clean)
+                     for r in out])
+    assert outs[0] == outs[1]
+    # exactly one keeper of the boilerplate line across the whole corpus
+    keepers = [r for r in outs[0] if boiler in r[3]]
+    assert len(keepers) == 1 and keepers[0][0] == 0

@@ -218,3 +218,37 @@ def test_substring_block_constants_anchor():
     short = rolling_anchor_hashes(entry._SUB_SHORT, DEFAULT.min_overlap_chars,
                                   DEFAULT.anchor_modulus)
     assert len(block) > 0 and len(short) == 0
+
+
+def test_tfidf_topk_scores_and_ranks(spark):
+    from wdd.operators.textstats import tfidf_topk
+    import math
+    df = spark.createDataFrame([
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common"),
+    ], ["doc_id", "text"])
+    rows = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2 and common tf=1 df=3
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert top1[0].term == "apple" and top1[0].tf == 2
+    exp = 2 * (math.log((3 + 1) / (1 + 1)) + 1)
+    assert abs(top1[0].tfidf - round(exp, 6)) < 1e-9
+    # every doc yields exactly k=2 rows here (all have >= 2 distinct terms)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # ranks are 1..k with deterministic term-asc tiebreak on equal scores
+    assert [r.rank for r in top1] == [1, 2]
+
+
+def test_tfidf_topk_equal_scores_tiebreak_by_term(spark):
+    from wdd.operators.textstats import tfidf_topk
+    # two terms with identical (tf, df) get identical scores ->
+    # alphabetical order decides ranks deterministically
+    df = spark.createDataFrame([(1, "zebra alpha"), (2, "filler")],
+                               ["doc_id", "text"])
+    rows = sorted((r for r in tfidf_topk(df, k=2).collect()
+                   if r.doc_id == 1), key=lambda r: r.rank)
+    assert [r.term for r in rows] == ["alpha", "zebra"]

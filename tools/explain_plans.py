@@ -97,6 +97,13 @@ def main():
         plan_of(e.q_decontaminate(spark, SF)),
     )
 
+    sections["line_dedup"] = (
+        "Corpus-wide line dedup — explode + ONE hash-aggregate on the line "
+        "hash + equi-join back: the SQL-oracle form needs two windows, the "
+        "engine form must need none (and nothing single-partition):",
+        plan_of(e.q_line_dedup(spark, SF)),
+    )
+
     checks = []
     p = sections["scan_pushdown"][1]
     checks.append(("scan PushedFilters non-empty",
@@ -126,6 +133,9 @@ def main():
                    "LeftAnti" in sections["job_dedup"][1]))
     checks.append(("decontaminate eval grams broadcast",
                    "BroadcastHashJoin" in sections["decontaminate"][1]))
+    ld = sections["line_dedup"][1]
+    checks.append(("line dedup has no Window / single-partition exchange",
+                   "Window" not in ld and "SinglePartition" not in ld))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:

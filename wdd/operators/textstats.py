@@ -170,3 +170,43 @@ def with_winnow_fingerprint(df: DataFrame, text_col: str = "text",
     rolling-hash anchors (robust to local edits, unlike md5)."""
     udf = _make_winnow_udf(DEFAULT.min_overlap_chars, DEFAULT.anchor_modulus, k)
     return df.withColumn("winnow_fp", udf(text_col))
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic retrieval / quality
+    primitive (salient-term extraction, keyword-based filtering).
+
+    tf      = term count within the document
+    idf     = ln((N + 1) / (df_t + 1)) + 1   (smoothed; N = corpus size)
+    output  = (id, term, tf, round(tfidf, 6), rank)  for rank <= k,
+              ordered per doc by (tfidf desc, term asc) — the term tiebreak
+              makes equal-score ranks deterministic across engines.
+
+    Plan shape (100 TB): explode -> hash-aggregate (doc, term) with
+    map-side combine -> term-keyed document-frequency aggregate joined
+    back on term (shuffle equi-join on the uniform term key; stopword
+    mega-terms are naturally bounded because the df table is one row per
+    DISTINCT term) -> per-doc top-k window. The window partitions by
+    doc_id — millions of tiny partitions, never a global sort. N rides in
+    as a 1-row broadcast cross join, not a driver-side literal, so the
+    plan stays fully lazy/distributed.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .join(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                       / (F.col("df_t") + 1)) + 1)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                    F.round("tfidf", 6).alias("tfidf"),
+                    F.col("rank").cast("long").alias("rank")))
