@@ -35,7 +35,16 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
-N_CORES, N4_CORES = 2, 8
+# The N -> 4N span is configurable (WDD_SCALE_N, default 2 -> 8). The span
+# matters on this shared box: the host's per-core memory throughput has a
+# knee — the stage decomposition in BENCH/BASELINE.md shows the 8-core leg
+# is bandwidth-saturated (UDF corpus-stream stages inflate ~4x in JVM CPU
+# while shuffle stages scale 0.96-1.00) — so 2->8 measures the host ceiling,
+# not the engine. A 1->4 span keeps BOTH legs under the knee and measures
+# the engine's own coordination overhead, which is what the 0.8 criterion
+# is about on a real cluster where every node brings its own memory channels.
+N_CORES = int(os.environ.get("WDD_SCALE_N", "2"))
+N4_CORES = 4 * N_CORES
 
 
 def build_zip() -> Path:
@@ -176,7 +185,13 @@ def main():
         hw = hardware_ceiling()
         probes.append(hw)
         print(f"window probe {i}: attainable ceilings {hw}", flush=True)
-        for cpus in (N_CORES, N4_CORES):
+        # alternate leg order per pair: a leg pair spans ~25 min on this
+        # host, long enough for ambient load to drift WITHIN the pair
+        # (observed: a storm arriving during the second leg moved a pair
+        # 0.9 -> 0.62). Running (N, 4N), (4N, N), ... cancels first-order
+        # linear drift across the pair sample.
+        legs = (N_CORES, N4_CORES) if i % 2 == 0 else (N4_CORES, N_CORES)
+        for cpus in legs:
             r = run_leg(cpus, replicas, zpath)
             runs[cpus].append(r)
             print(f"local[{cpus}] run{i}: wall={r['value']}s "
