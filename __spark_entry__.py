@@ -914,6 +914,37 @@ def q_pii_scrub(spark, sf_dir):
                     "n_ipv4"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The end-to-end C4/Gopher-style keep/drop verdict a curation pipeline
+    actually exports: one row per training document with `keep` and the
+    comma-joined `reject_reasons` (contaminated / length / low_quality /
+    repetitive), composed from the independently-oracled quality,
+    repetition, and decontamination operators joined on doc_id. The oracle
+    wraps those queries' own verified SQL as CTEs, so composite and parts
+    cannot drift."""
+    from wdd.operators.curation import decontaminate, repetition_stats
+    from wdd.operators.textstats import tokens_col, with_quality_scores
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") % 19 == 3)
+    train = docs.where(F.col("doc_id") % 19 != 3)
+    q = with_quality_scores(train).select("doc_id", "quality_ok")
+    rep = repetition_stats(train).select("doc_id", "repetition_ok")
+    con = decontaminate(train, eval_df, n=4).select("doc_id", "contaminated")
+    tok = train.select("doc_id", F.size(tokens_col("text")).alias("n_tokens"))
+    j = (con.join(q, "doc_id").join(rep, "doc_id").join(tok, "doc_id"))
+    len_ok = F.col("n_tokens").between(10, 100000)
+    reasons = F.array_compact(F.array(
+        F.when(F.col("contaminated"), F.lit("contaminated")),
+        F.when(~len_ok, F.lit("length")),
+        F.when(~F.col("quality_ok"), F.lit("low_quality")),
+        F.when(~F.col("repetition_ok"), F.lit("repetitive"))))
+    return j.select(
+        "doc_id",
+        (~F.col("contaminated") & F.col("quality_ok")
+         & F.col("repetition_ok") & len_ok).alias("keep"),
+        F.concat_ws(",", reasons).alias("reject_reasons"))
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-5 TF-IDF terms per document (smoothed idf, deterministic
     term-asc tiebreak). Corpus-level document frequency + per-doc scores
@@ -1131,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pii_scrub": q_pii_scrub,
         "tfidf_topk": q_tfidf_topk,
+        "corpus_filter": q_corpus_filter,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
@@ -1143,7 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     corpus = f"WITH corpus AS ({_CORPUS_SQL})"
-    return {
+    o = {
         "exact_dup_clusters": f"""
             {corpus}
             SELECT md5(text) AS digest, count(*) AS dup_cnt,
@@ -2042,3 +2074,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
         """,
     }
+    # Composite keep/drop verdict: restated by WRAPPING the already-verified
+    # component oracles as CTEs (DuckDB allows WITH inside a parenthesized
+    # CTE body), so the composite can never drift from its parts.
+    o["corpus_filter"] = f"""
+        WITH q AS ({o['quality_scores']}),
+             rep AS ({o['repetition_stats']}),
+             con AS ({o['decontaminate']}),
+             tok AS (
+               SELECT doc_id,
+                      len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> ''))::BIGINT AS n_tokens
+               FROM documents)
+        SELECT con.doc_id,
+               ((NOT con.contaminated) AND q.quality_ok AND rep.repetition_ok
+                AND tok.n_tokens BETWEEN 10 AND 100000) AS keep,
+               concat_ws(',',
+                 CASE WHEN con.contaminated THEN 'contaminated' END,
+                 CASE WHEN tok.n_tokens NOT BETWEEN 10 AND 100000
+                      THEN 'length' END,
+                 CASE WHEN NOT q.quality_ok THEN 'low_quality' END,
+                 CASE WHEN NOT rep.repetition_ok THEN 'repetitive' END)
+                 AS reject_reasons
+        FROM con
+        JOIN q USING (doc_id)
+        JOIN rep USING (doc_id)
+        JOIN tok USING (doc_id)
+    """
+    return o
