@@ -914,6 +914,14 @@ def q_pii_scrub(spark, sf_dir):
                     "n_ipv4"))
 
 
+def q_novelty_scores(spark, sf_dir):
+    """Per-doc 3-gram novelty (fraction of a doc's distinct word 3-grams
+    first seen — by min doc_id — in that doc): the corpus-growth /
+    data-valuation signal. Same plan shape as line_dedup."""
+    from wdd.operators.curation import novelty_scores
+    return novelty_scores(_docs(spark, sf_dir), n=3)
+
+
 def q_corpus_filter(spark, sf_dir):
     """The end-to-end C4/Gopher-style keep/drop verdict a curation pipeline
     actually exports: one row per training document with `keep` and the
@@ -1163,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "tfidf_topk": q_tfidf_topk,
         "corpus_filter": q_corpus_filter,
+        "novelty_scores": q_novelty_scores,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
@@ -1913,6 +1922,33 @@ def oracle_sql() -> dict[str, str]:
                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
                      AS n_ipv4
             FROM s2
+        """,
+        "novelty_scores": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS gram
+              FROM toks WHERE len(t) >= 3),
+            firsts AS (
+              SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+            per AS (
+              SELECT g.doc_id,
+                     count(*)::BIGINT AS n_grams,
+                     sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0
+                         END)::BIGINT AS n_novel
+              FROM grams g JOIN firsts f USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(per.n_grams, 0) AS n_grams,
+                   coalesce(per.n_novel, 0) AS n_novel,
+                   CASE WHEN per.n_grams > 0
+                        THEN round(per.n_novel::DOUBLE / per.n_grams, 6)
+                   END AS novelty
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "tfidf_topk": r"""
             WITH toks AS (

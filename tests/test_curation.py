@@ -252,3 +252,16 @@ def test_line_dedup_partitioning_invariant(spark):
     # exactly one keeper of the boilerplate line across the whole corpus
     keepers = [r for r in outs[0] if boiler in r[3]]
     assert len(keepers) == 1 and keepers[0][0] == 0
+
+
+def test_novelty_scores_first_doc_owns_shared_grams(spark):
+    from wdd.operators.curation import novelty_scores
+    df = spark.createDataFrame([
+        (1, "a b c d"),            # grams: "a b c", "b c d" -> both first here
+        (2, "a b c x"),            # "a b c" seen in doc 1; "b c x" novel
+        (3, "zz"),                 # < 3 tokens -> no grams
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in novelty_scores(df, n=3).collect()}
+    assert out[1].n_grams == 2 and out[1].n_novel == 2 and out[1].novelty == 1.0
+    assert out[2].n_grams == 2 and out[2].n_novel == 1 and out[2].novelty == 0.5
+    assert out[3].n_grams == 0 and out[3].n_novel == 0 and out[3].novelty is None

@@ -284,3 +284,37 @@ def cap_per_key(df: DataFrame, key_col: str, k: int,
     return (survivors.withColumn("sample_rank",
                                  F.row_number().over(w).cast("long"))
             .where(F.col("sample_rank") <= k))
+
+
+def novelty_scores(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams whose first corpus occurrence (min id) is this document —
+    the "how much new content does each doc contribute" signal used for
+    corpus growth curves and dedup-aware data valuation.
+
+    Plan shape (100 TB): explode distinct grams -> one hash-aggregate on
+    the gram key (min id, map-side combine) -> equi-join back on the
+    uniform gram key -> per-doc re-aggregate. Same shape as line_dedup;
+    nothing driver-sided, no windows. Docs with fewer than n tokens have
+    no grams: n_grams = 0 and novelty = NULL.
+    """
+    grams = df.select(
+        id_col,
+        F.explode(F.array_distinct(_word_ngrams(tokens_col(text_col), n)))
+        .alias("gram"))
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    per = (grams.join(first, "gram")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_grams"),
+                F.sum(F.when(F.col("_first") == F.col(id_col), 1)
+                      .otherwise(0)).alias("n_novel")))
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.when(F.col("n_grams") > 0,
+                           F.round(F.col("n_novel") / F.col("n_grams"), 6))
+                    .alias("novelty")))
