@@ -914,6 +914,14 @@ def q_pii_scrub(spark, sf_dir):
                     "n_ipv4"))
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 trigrams (boilerplate/template mining): one
+    hash-agg then TakeOrderedAndProject — per-partition top-k heaps, no
+    global sort materializes."""
+    from wdd.operators.textstats import top_ngrams
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=50)
+
+
 def q_novelty_scores(spark, sf_dir):
     """Per-doc 3-gram novelty (fraction of a doc's distinct word 3-grams
     first seen — by min doc_id — in that doc): the corpus-growth /
@@ -1172,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "corpus_filter": q_corpus_filter,
         "novelty_scores": q_novelty_scores,
+        "top_ngrams": q_top_ngrams,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
@@ -1922,6 +1931,22 @@ def oracle_sql() -> dict[str, str]:
                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT
                      AS n_ipv4
             FROM s2
+        """,
+        "top_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS gram
+              FROM toks WHERE len(t) >= 3)
+            SELECT gram, count(*)::BIGINT AS cnt
+            FROM grams GROUP BY 1
+            ORDER BY cnt DESC, gram ASC
+            LIMIT 50
         """,
         "novelty_scores": r"""
             WITH toks AS (

@@ -252,3 +252,24 @@ def test_tfidf_topk_equal_scores_tiebreak_by_term(spark):
     rows = sorted((r for r in tfidf_topk(df, k=2).collect()
                    if r.doc_id == 1), key=lambda r: r.rank)
     assert [r.term for r in rows] == ["alpha", "zebra"]
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from wdd.operators.textstats import top_ngrams
+    df = spark.createDataFrame([
+        (1, "x y z x y z"),      # "x y z" twice (overlapping window incl "z x y", "y z x")
+        (2, "a b c"),
+        (3, "a b c"),
+    ], ["doc_id", "text"])
+    rows = top_ngrams(df, n=3, k=3).collect()
+    assert rows[0].gram == "a b c" and rows[0].cnt == 2  # ties: asc gram
+    assert rows[1].gram == "x y z" and rows[1].cnt == 2
+    assert rows[2].cnt == 1
+
+
+def test_top_ngrams_plan_is_take_ordered(spark):
+    from wdd.operators.textstats import top_ngrams
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = top_ngrams(df, n=3, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -210,3 +210,24 @@ def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
             .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
                     F.round("tfidf", 6).alias("tfidf"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def top_ngrams(df: DataFrame, n: int = 3, k: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams — boilerplate/template
+    mining (stopphrase lists, spam-template detection). Deterministic
+    (count desc, gram asc) tiebreak.
+
+    Plan shape (100 TB): explode -> one hash-aggregate on the gram key
+    (map-side combine) -> global top-k via orderBy+limit, which Spark
+    plans as TakeOrderedAndProject: each partition keeps its local top-k
+    heap and the driver merges k*partitions rows — no global sort ever
+    materializes.
+    """
+    from wdd.operators.curation import _word_ngrams
+    toks = tokens_col(text_col)
+    grams = df.select(F.explode(_word_ngrams(toks, n)).alias("gram"))
+    return (grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram"))
+            .limit(k)
+            .select("gram", F.col("cnt").cast("long").alias("cnt")))
