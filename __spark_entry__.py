@@ -914,6 +914,17 @@ def q_pii_scrub(spark, sf_dir):
                     "n_ipv4"))
 
 
+def q_sketch_dup_pairs(spark, sf_dir):
+    """Bottom-k sketch join: candidate near-dup pairs sharing >= 2 sketch
+    hashes (df-capped), scored by exact sketch-set Jaccard — closes the
+    bottomk_sketch into an end-to-end dedup path. Oracle wraps the
+    bottomk_sketch query's own verified SQL as a CTE."""
+    from wdd.operators.textstats import ngram_bottomk_sketch, sketch_dup_pairs
+    sk = ngram_bottomk_sketch(_docs(spark, sf_dir).select("doc_id", "text"),
+                              n=8, k=8)
+    return sketch_dup_pairs(sk, min_shared=2, df_cap=64)
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide top-50 trigrams (boilerplate/template mining): one
     hash-agg then TakeOrderedAndProject — per-partition top-k heaps, no
@@ -1181,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "novelty_scores": q_novelty_scores,
         "top_ngrams": q_top_ngrams,
+        "sketch_dup_pairs": q_sketch_dup_pairs,
         "capture_diff": q_capture_diff,
         "capture_diff256": q_capture_diff256,
         "simhash_index_year": q_simhash_index_year,
@@ -2161,5 +2173,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN q USING (doc_id)
         JOIN rep USING (doc_id)
         JOIN tok USING (doc_id)
+    """
+    # Sketch-join pairs: same composition technique — the bottom-k sketch
+    # CTE is the already-verified bottomk_sketch oracle, verbatim.
+    o["sketch_dup_pairs"] = f"""
+        WITH sk AS ({o['bottomk_sketch']}),
+        kept AS (
+          SELECT sk.doc_id, sk.gram_md5
+          FROM sk JOIN (SELECT gram_md5, count(*) AS df
+                        FROM sk GROUP BY 1) f USING (gram_md5)
+          WHERE f.df <= 64),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        p AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 count(*)::BIGINT AS shared
+          FROM kept x JOIN kept y USING (gram_md5)
+          WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared,
+               round(shared::DOUBLE / (sa.sz + sb.sz - shared), 6)
+                 AS sketch_jaccard
+        FROM p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE shared >= 2
     """
     return o

@@ -187,7 +187,8 @@ def main():
                      "substring_pairs", "job_dedup", "decontaminate",
                      "repetition_stats", "domain_cap_sample", "shard_pack",
                      "ivf_topk", "line_dedup", "pii_scrub", "tfidf_topk",
-                     "corpus_filter", "novelty_scores", "top_ngrams"):
+                     "corpus_filter", "novelty_scores", "top_ngrams",
+                     "sketch_dup_pairs"):
             t0 = time.monotonic()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - t0, 3)

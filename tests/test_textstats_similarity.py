@@ -273,3 +273,18 @@ def test_top_ngrams_plan_is_take_ordered(spark):
     plan = top_ngrams(df, n=3, k=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sketch_dup_pairs_exact_dup_and_disjoint(spark):
+    from wdd.operators.textstats import ngram_bottomk_sketch, sketch_dup_pairs
+    df = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup
+        (3, "zzzz qqqq wwww vvvv kkkk jjjj xxxx uuuu yyyy oooo"),    # disjoint
+    ], ["doc_id", "text"])
+    sk = ngram_bottomk_sketch(df, n=8, k=8)
+    out = sketch_dup_pairs(sk, min_shared=2, df_cap=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.shared == 8 and r.sketch_jaccard == 1.0

@@ -231,3 +231,45 @@ def top_ngrams(df: DataFrame, n: int = 3, k: int = 50,
             .orderBy(F.desc("cnt"), F.asc("gram"))
             .limit(k)
             .select("gram", F.col("cnt").cast("long").alias("cnt")))
+
+
+def sketch_dup_pairs(sketch: DataFrame, min_shared: int = 2,
+                     df_cap: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidate pairs from bottom-k sketches (closes the
+    `ngram_bottomk_sketch` loop into a dedup path): document pairs sharing
+    >= min_shared sketch hashes, scored by the exact Jaccard of their two
+    (df-capped) sketch sets — shared / (|A| + |B| - shared), the standard
+    resemblance-of-sketches estimate of document similarity.
+
+    Scale shape (100 TB): hashes appearing in more than df_cap documents
+    are dropped first as non-discriminative boilerplate (the same
+    df-capping that keeps `ngram_jaccard_pairs` off the stopword df^2
+    blowup) — which also bounds every join group; then one self-equi-join
+    on the uniform hash key and one (a, b) hash-aggregate. No windows,
+    no driver-side state.
+
+    Input: (id_col, rank, gram_md5) as produced by ngram_bottomk_sketch.
+    Output: (doc_a, doc_b, shared, sketch_jaccard), doc_a < doc_b.
+    """
+    h = sketch.select(F.col(id_col).alias("_id"), "gram_md5")
+    keep = (h.groupBy("gram_md5").agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= df_cap).select("gram_md5"))
+    hh = h.join(keep, "gram_md5")
+    sizes = hh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    pairs = (hh.select(F.col("_id").alias("_a"), "gram_md5")
+             .join(hh.select(F.col("_id").alias("_b"), "gram_md5"),
+                   "gram_md5")
+             .where(F.col("_a") < F.col("_b"))
+             .groupBy("_a", "_b").agg(F.count("*").alias("shared"))
+             .where(F.col("shared") >= min_shared))
+    return (pairs
+            .join(sizes.select(F.col("_id").alias("_a"),
+                               F.col("_sz").alias("_sza")), "_a")
+            .join(sizes.select(F.col("_id").alias("_b"),
+                               F.col("_sz").alias("_szb")), "_b")
+            .select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"),
+                    F.col("shared").cast("long").alias("shared"),
+                    F.round(F.col("shared")
+                            / (F.col("_sza") + F.col("_szb")
+                               - F.col("shared")), 6)
+                    .alias("sketch_jaccard")))
