@@ -28,10 +28,13 @@ def _random_features(rng, n_tokens):
 def test_simhash64_batch_matches_pure_python():
     rng = random.Random(1234)
     batch = [_random_features(rng, rng.randint(1, 20)) for _ in range(64)]
-    batch.append({})  # empty doc
+    batch.append({})  # empty doc -> None (reference skips it, discover.py:158)
     vec = simhash64_batch(batch, hash_name="blake2b")
     for feats, got in zip(batch, vec):
-        expected = calculate_simhash(feats, 64, custom_hash_function) if feats else 0
+        if not feats:
+            assert got is None
+            continue
+        expected = calculate_simhash(feats, 64, custom_hash_function)
         # reinterpret unsigned reference value as signed int64
         expected_signed = expected - (1 << 64) if expected >= (1 << 63) else expected
         assert int(got) == expected_signed
@@ -99,7 +102,7 @@ def test_simhash_parts_batch_matches_pure_python_all_widths():
     from wdd.kernels.simhash import parts_to_b64, simhash_parts_batch
     rng = random.Random(4321)
     batch = [_random_features(rng, rng.randint(0, 20)) for _ in range(32)]
-    batch[0] = {}   # empty-features sentinel -> all-zero words
+    batch[0] = {}   # empty-features doc -> None (reference skips it)
     mask = (1 << 64) - 1
 
     def signed(x):
@@ -108,6 +111,9 @@ def test_simhash_parts_batch_matches_pure_python_all_widths():
     for f in (64, 128, 256, 512):
         got = simhash_parts_batch(batch, f, "blake2b")
         for feats, parts in zip(batch, got):
+            if not feats:
+                assert parts is None
+                continue
             h = calculate_simhash(feats, f, custom_hash_function)
             assert parts == [signed((h >> (64 * j)) & mask)
                              for j in range(f // 64)]

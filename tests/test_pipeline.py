@@ -187,3 +187,40 @@ def test_pipeline_precomputed_text_only_table(spark, sf_dir):
     a = {(r.page_id, r.cluster_id) for r in res.clusters.collect()}
     b = {(r.page_id, r.cluster_id) for r in res_html.clusters.collect()}
     assert len(a & b) / len(b) > 0.99
+
+
+def test_extraction_failed_pages_never_weld(spark, sf_dir):
+    """ADVICE r4 (high): pages whose html decodes to NO text (empty feature
+    bag) must carry a NULL simhash — the reference skips empty-feature
+    captures entirely (discover.py:158 `if data:`) — and must NOT be
+    star-welded into one cluster by the samesim/LSH stages. Byte-identical
+    failures still cluster (exact digest edges)."""
+    import datetime as _dt
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    base = pages.limit(40)
+    ts0 = _dt.datetime(2019, 1, 1)
+    rows = [
+        (f"http://fail{i}.example/x", ts0 + _dt.timedelta(seconds=i),
+         bytearray(b"\xff\xfe\x00bad%d" % i), "", "en")
+        for i in range(6)
+    ] + [
+        ("http://fail-dup.example/a", ts0, bytearray(b"\xff\xfe\x00same"), "", "en"),
+        ("http://fail-dup.example/b", ts0 + _dt.timedelta(days=1),
+         bytearray(b"\xff\xfe\x00same"), "", "en"),
+    ]
+    failed = spark.createDataFrame(rows, schema=base.schema)
+    res = run_dedup_pipeline(spark, base.unionByName(failed),
+                             eager_stages=False)
+    # null sims recorded for every failed page (8 rows)
+    assert res.simhashes.where(F.col("simhash64").isNull()).count() == 8
+    cl = {r.url: r.cluster_id
+          for r in res.clusters.where(F.col("url").startswith("http://fail"))
+          .collect()}
+    # six distinct-byte failures -> six distinct clusters (no welding)
+    assert len({cl[f"http://fail{i}.example/x"] for i in range(6)}) == 6
+    # byte-identical failures share a digest -> one cluster via exact edges
+    assert cl["http://fail-dup.example/a"] == cl["http://fail-dup.example/b"]
+    # and no failed page merged with any real page
+    real = {r.cluster_id for r in res.clusters
+            .where(~F.col("url").startswith("http://fail")).collect()}
+    assert not (set(cl.values()) & real)

@@ -103,6 +103,12 @@ def simhash_parts_batch(features_list, simhash_size: int,
     conf.yml.example:2 pins simhash.size: 256; discover.py:95-96 enforces
     f <= 512): same one-hash-per-distinct-token + matrix-vote structure as
     simhash64_batch, widened to f bit columns.
+
+    Empty feature bags yield None (not an all-zero vector): the reference
+    skips captures with no extracted features entirely (discover.py:158
+    `if data:`), so extraction-failed pages must never share a simhash
+    value — an all-zero sentinel would star-weld every failed page into
+    one cluster in the pipeline's samesim stage.
     """
     assert simhash_size % 64 == 0 and simhash_size <= 512
     n_parts = simhash_size // 64
@@ -113,7 +119,8 @@ def simhash_parts_batch(features_list, simhash_size: int,
         digest = hashlib.md5
     else:
         raise ValueError(f"unknown simhash token hash {hash_name!r}")
-    out: list[list[int]] = [[0] * n_parts for _ in features_list]
+    out: list[list[int] | None] = [[0] * n_parts if feats else None
+                                   for feats in features_list]
     vocab: dict[str, int] = {}
     for feats in features_list:
         if feats:
@@ -154,15 +161,21 @@ def parts_to_b64(parts: list[int], simhash_size: int) -> str:
     return base64.b64encode(raw[:simhash_size // 8]).decode("ascii")
 
 
-def simhash64_batch(features_list, hash_name: str = "blake2b") -> np.ndarray:
-    """SimHash f=64 over a batch of {token: weight} dicts -> int64 array.
+def simhash64_batch(features_list, hash_name: str = "blake2b") -> list:
+    """SimHash f=64 over a batch of {token: weight} dicts -> list of int64
+    values (None for empty feature bags).
 
     Hashes each distinct token once per batch (the batch analog of the
     reference's per-task digest memo, discover.py:160-163), then does the
     weighted bit vote as one matrix product per document.
+
+    Empty feature bags yield None (not 0): the reference skips captures with
+    no extracted features entirely (discover.py:158 `if data:`), so
+    extraction-failed pages must never share a simhash value — an all-zero
+    sentinel would star-weld every failed page into one cluster in the
+    pipeline's samesim stage.
     """
-    n = len(features_list)
-    out = np.zeros(n, dtype=np.int64)
+    out: list = [None] * len(features_list)
     vocab: dict[str, int] = {}
     for feats in features_list:
         if feats:

@@ -44,7 +44,9 @@ def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
     Input: any DataFrame with a simhash64 column; distinct is taken here.
     Output columns a, b are simhash values (long), verified bit_count <= k.
     """
-    distinct = simhashes.select(F.col(id_col).alias("sim")).dropDuplicates(["sim"])
+    distinct = (simhashes.select(F.col(id_col).alias("sim"))
+                .where(F.col("sim").isNotNull())   # extraction-failed pages
+                .dropDuplicates(["sim"]))
     exploded = distinct.select(
         "sim",
         F.explode(block_keys_col("sim", cfg.n_blocks, cfg.simhash_size))

@@ -172,6 +172,14 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             .withColumn("score", F.lit(1.0))
         exact_edges = mat("edges_exact", exact_edges, t)
 
+    # Extraction-failed pages (no text -> empty feature bag) carry a NULL
+    # sim (kernels mirror the reference's skip, discover.py:158 `if data:`)
+    # and an all-sentinel minhash signature; they must never enter the
+    # near-dup edge sources, or every failed page would weld into one
+    # cluster through samesim stars / LSH sentinel-signature bands. Exact
+    # digest edges still apply (byte-identical failures ARE duplicates).
+    nd_reps = reps.where(F.col(sim_col).isNotNull())
+
     # -- stage: same-simhash star edges (Hamming 0 across DISTINCT digests).
     # Two documents with different bytes but the identical feature BAG (e.g.
     # the same text with sentences reordered — simhash is bag-of-words) have
@@ -181,12 +189,9 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # the simhash metric would never be edged while Hamming 1..k pairs are.
     # Star edges over digest-reps grouped by the sim value stay linear in
     # group size; works unchanged for the scalar and array<long> sim columns
-    # (Spark windows partition by array keys). Null sims (extraction-failed
-    # pages on the parts path) are excluded — an all-null group would weld
-    # unrelated failures into one cluster.
+    # (Spark windows partition by array keys).
     with stage_timer(metrics, "edges_samesim") as t:
-        samesim_edges = D.exact_dup_edges(
-            reps.where(F.col(sim_col).isNotNull()), sim_col, "rep") \
+        samesim_edges = D.exact_dup_edges(nd_reps, sim_col, "rep") \
             .withColumn("source", F.lit("samesim")) \
             .withColumn("score", F.lit(1.0)) \
             .select("a", "b", "source", "score")
@@ -194,7 +199,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
 
     # -- stage: LSH band candidates + Jaccard verification (J1, J5) --------
     with stage_timer(metrics, "edges_lsh") as t:
-        lsh_cand = L.lsh_candidates(reps, id_col="rep", sig_col="signature",
+        lsh_cand = L.lsh_candidates(nd_reps, id_col="rep", sig_col="signature",
                                     cfg=cfg)
         lsh_edges = L.verify_jaccard(
             lsh_cand, reps.select("rep", "signature"),
@@ -205,12 +210,12 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
 
     # -- stage: Hamming pigeonhole candidates (J2) --------------------------
     with stage_timer(metrics, "edges_pigeonhole") as t:
-        sim_pairs = (P.pigeonhole_candidates_parts(reps, parts_col=sim_col,
+        sim_pairs = (P.pigeonhole_candidates_parts(nd_reps, parts_col=sim_col,
                                                    cfg=cfg) if wide
-                     else P.pigeonhole_candidates(reps, id_col=sim_col,
+                     else P.pigeonhole_candidates(nd_reps, id_col=sim_col,
                                                   cfg=cfg))
         ph_edges = P.simhash_pairs_to_page_pairs(
-            sim_pairs, reps, id_col="rep", sim_col=sim_col
+            sim_pairs, nd_reps, id_col="rep", sim_col=sim_col
         ).withColumn(
             "score", F.lit(None).cast("double")
         ).select("a", "b", "source", "score")
