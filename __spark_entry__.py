@@ -1102,7 +1102,8 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
     construction margins) is what pipeline_recall oracles in closed form."""
     from wdd.pipeline import run_dedup_pipeline
     from wdd.sources.pages import synth_pages
-    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False,
+                           with_embeddings=True)
     res = run_dedup_pipeline(spark, pages)
     return (res.clusters
             .groupBy("cluster_id")
@@ -1125,7 +1126,8 @@ def q_pipeline_recall(spark, sf_dir):
     be recall 1.0 by construction margins (FIXTURES.md §B.1)."""
     from wdd.pipeline import run_dedup_pipeline
     from wdd.sources.pages import synth_pages
-    pages, truth = synth_pages(spark, sf_dir, with_truth=True)
+    pages, truth = synth_pages(spark, sf_dir, with_truth=True,
+                               with_embeddings=True)
     res = run_dedup_pipeline(spark, pages)
     cl = res.clusters.select("url", "warc_ts", "cluster_id")
     j = (truth
@@ -2138,6 +2140,12 @@ def oracle_sql() -> dict[str, str]:
               WHERE did % 11 = 0 AND length(text) >= 180
               UNION ALL
               SELECT did, 'reorder', '/rev/' FROM d WHERE did % 17 = 0
+              UNION ALL
+              -- embedding-only dup: planted iff a vector exists for the doc
+              -- (sf0.1 has vectors only for a doc_id prefix)
+              SELECT did, 'embedding', '/emb/' FROM d
+              WHERE did % 19 = 0
+                AND did IN (SELECT vec_id FROM embeddings)
             )
             SELECT 'http://'
                    || CASE WHEN did % 4 = 0 THEN 'hot.example'

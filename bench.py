@@ -114,7 +114,13 @@ def main():
 
     # --- headline: full near-dup pipeline (extract -> hash -> candidates
     # -> clusters), timed end-to-end including the final materialization ----
-    pages, truth = synth_pages(spark, sf_dir)
+    # embedding-cosine edge source rides the headline only: the scaling
+    # legs replicate the corpus with per-replica token suffixes, and a
+    # copied embedding would (correctly!) weld replicas back together.
+    # WDD_BENCH_EMB=0 disables it for A/B isolation.
+    with_emb = (replicas == 1 and
+                os.environ.get("WDD_BENCH_EMB", "1") != "0")
+    pages, truth = synth_pages(spark, sf_dir, with_embeddings=with_emb)
     # repartition BEFORE the eager checkpoint (setup, not timed): documents
     # is one parquet file, so synth+replicate otherwise leaves the whole
     # corpus in ~5 partitions and every pre-shuffle stage of the timed
@@ -141,8 +147,10 @@ def main():
     # selects (text, lang here — the pipeline extracts from html) is still
     # decompressed and streamed by every timed scan of the corpus. On the
     # bandwidth-bound scaling legs those two columns are ~45% of the bytes.
+    keep_cols = ["url", "warc_ts", "html"] + \
+        (["embedding"] if "embedding" in pages.columns else [])
     pages = (_replicate_pages(pages, replicas)
-             .select("url", "warc_ts", "html")
+             .select(*keep_cols)
              .repartition(width)
              .localCheckpoint(eager=True))
     truth = _replicate_truth(truth, replicas)

@@ -50,7 +50,8 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                        store: StageStore | None = None,
                        use_precomputed_text: bool = False,
                        enable_substring: bool = True,
-                       eager_stages: bool = True) -> PipelineResult:
+                       eager_stages: bool = True,
+                       embedding_dim: int | None = None) -> PipelineResult:
     """eager_stages=True materializes + counts every stage (manifest-grade
     observability; the default). eager_stages=False persists only the frames
     that feed multiple consumers and defers everything else to the final
@@ -221,6 +222,63 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         ).select("a", "b", "source", "score")
         ph_edges = mat("edges_pigeonhole", ph_edges, t)
 
+    # -- stage: embedding-cosine candidates (optional — semantic/paraphrase
+    # duplicates invisible to every token-level source). Activates when the
+    # pages table carries an `embedding` array<float> column (a training-data
+    # corpus normally embeds distinct content once upstream). Edges come from
+    # the multi-table sign-LSH bucket join + exact cosine re-rank
+    # (similarity.cosine_dup_pairs, the 100 TB path: only (id, table,
+    # bucket) longs ride the candidate shuffle). The per-digest embedding is
+    # derived from a SEPARATE narrow scan of the raw pages so the hot
+    # prepped cache never carries the fat vector column — every other stage
+    # re-reads that cache and would pay dim*4 bytes/row for nothing.
+    emb_edges = None
+    if "embedding" in pages.columns:
+        from wdd.operators.similarity import cosine_dup_pairs
+        with stage_timer(metrics, "edges_embedding") as t:
+            demb = (
+                D.with_digest(pages.where(F.col("embedding").isNotNull()),
+                              content_col)
+                .groupBy("digest")
+                # deterministic pick among (rare) conflicting embeddings of
+                # one digest; normally identical content -> one embedding
+                .agg(F.expr("min_by(embedding, xxhash64(url, warc_ts))")
+                     .alias("embedding")))
+            emb_reps = rep_ids.join(demb, "digest").select("rep", "embedding")
+            # cosine_dup_pairs reads the corpus three times (bucket keys +
+            # both verification sides) — pin it so the digest/groupBy chain
+            # above runs once
+            emb_reps = (emb_reps.localCheckpoint(eager=True) if eager_stages
+                        else emb_reps.persist())
+            if embedding_dim is None:
+                # plan-time constant (one narrow limit-1 scan of the raw
+                # pages, same class as the ledger/convergence aggregates) —
+                # the LSH hyperplane matrix shape must be known before the
+                # UDF ships
+                row = (pages.where(F.col("embedding").isNotNull())
+                       .select(F.size("embedding")).limit(1).collect())
+                embedding_dim = row[0][0] if row else 0
+            if embedding_dim:
+                # auto bucket width: ~log2(n) keeps expected bucket occupancy
+                # ~1, so candidates stay ~n·tables·(bits+1) instead of
+                # n²/2^bits — at fixed bits=8, a 2.8k-vector corpus was
+                # already verifying 14% of ALL pairs (567k cosines). Count
+                # is one job over the just-pinned emb_reps.
+                import math
+                bits = cfg.embedding_lsh_bits
+                if bits is None:
+                    n_emb = emb_reps.count()
+                    bits = min(16, max(8, math.ceil(math.log2(max(n_emb, 2)))))
+                emb_edges = cosine_dup_pairs(
+                    emb_reps, threshold=cfg.cosine_dup_threshold,
+                    id_col="rep", vec_col="embedding", method="lsh",
+                    dim=embedding_dim, bits=bits,
+                ).select(
+                    F.col("vec_a").alias("a"), F.col("vec_b").alias("b"),
+                    F.lit("embedding").alias("source"),
+                    F.col("cosine").alias("score"))
+                emb_edges = mat("edges_embedding", emb_edges, t)
+
     # -- stage: substring-overlap candidates (anchor hashing) ---------------
     sub_edges = None
     if enable_substring:
@@ -247,6 +305,8 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         edges = exact_edges.select("a", "b").withColumn("source", F.lit("exact")) \
             .withColumn("score", F.lit(1.0))
         parts = [edges, samesim_edges, lsh_edges, ph_edges]
+        if emb_edges is not None:
+            parts.append(emb_edges)
         if sub_edges is not None:
             parts.append(sub_edges)
         candidate_pairs = parts[0]

@@ -72,10 +72,21 @@ def _page_rows(docs: DataFrame, url_prefix, doc_id_col, text_col,
 
 
 def synth_pages(spark: SparkSession, sf_dir: str,
-                with_truth: bool = True) -> tuple[DataFrame, DataFrame | None]:
+                with_truth: bool = True,
+                with_embeddings: bool = False) -> tuple[DataFrame, DataFrame | None]:
     """Build (pages, truth_pairs) from {sf_dir}/documents.parquet.
 
     truth_pairs: (url_a, ts_a, url_b, ts_b, kind) — base row vs planted variant.
+
+    with_embeddings=True joins {sf_dir}/embeddings.parquet (vec_id == doc_id;
+    left join — at sf0.1 only a prefix of doc ids has vectors) onto every
+    page row AND plants one more variant kind:
+      * embedding-only dup  doc_id % 19 == 0 (and a vector exists)
+        fully synthetic disjoint tokens + the base row's EXACT embedding —
+        token-level sources (exact/samesim/LSH/pigeonhole/substring) are all
+        blind to it by construction; only the pipeline's embedding-cosine
+        edge source (cosine 1.0 >= threshold; unrelated docs max ~0.6 in
+        this corpus) can cluster it.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang")
@@ -143,6 +154,24 @@ def synth_pages(spark: SparkSession, sf_dir: str,
 
     pages = base.unionByName(exact).unionByName(simnear) \
         .unionByName(near).unionByName(substr).unionByName(reorder)
+
+    if with_embeddings:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .select(F.col("vec_id").alias("src_doc_id"), "embedding")
+        # embedding-only dup: disjoint synthetic tokens, identical embedding
+        emb_src = docs.where(F.col("doc_id") % 19 == 0) \
+            .join(emb.withColumnRenamed("src_doc_id", "doc_id").select("doc_id"),
+                  "doc_id", "left_semi") \
+            .withColumn(
+                "text2",
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(1), F.lit(30)),
+                    lambda i: F.format_string(
+                        "zemb%dq%d", F.col("doc_id").cast("int"), i))))
+        embed_var = _page_rows(emb_src, "/emb/", "doc_id", "text2",
+                               F.lit(518400), "embedding")
+        pages = pages.unionByName(embed_var)
+        pages = pages.join(emb, "src_doc_id", "left")
 
     truth = None
     if with_truth:
