@@ -194,7 +194,8 @@ def main():
                      "embedding_dup_pairs", "pigeonhole256_surrogate",
                      "substring_pairs", "job_dedup", "decontaminate",
                      "repetition_stats", "domain_cap_sample", "shard_pack",
-                     "ivf_topk", "line_dedup", "pii_scrub", "tfidf_topk",
+                     "ivf_topk", "ivf_train_topk", "line_dedup",
+                     "pii_scrub", "tfidf_topk",
                      "corpus_filter", "novelty_scores", "top_ngrams",
                      "sketch_dup_pairs"):
             t0 = time.monotonic()
