@@ -866,6 +866,44 @@ def q_ivf_train_topk(spark, sf_dir):
         F.round("cosine", 6).alias("cosine"))
 
 
+def q_substring_pairs_exact(spark, sf_dir):
+    """The suffix-array/Kasai EXACT-verify leg of the substring stage,
+    driver-oracled (round-4 verdict wrong #1: precise=True was pytest-only).
+    Corpus: per-doc-unique token streams (no cross-doc >=100-char run is
+    constructible), plus one variant per doc_id%11 doc carrying a
+    sentinel-bounded slice of the base whose TRUE overlap is
+    250 + (doc_id%3)*50 — never equal to the anchor window L=100, so a
+    verify leg that just parroted L would be red. A planted bogus
+    candidate (two unrelated base docs, as if a 64-bit anchor collision
+    had occurred) is unioned into the candidate set and must be REJECTED
+    by the exact verification. Oracle: the planted (pair, exact overlap)
+    relation in closed form. Slice >= 250 chars -> >= 151 anchored
+    windows; deterministic anchor-miss budget (7/8)^151 ~ 2e-9
+    (FIXTURES.md recall-budget convention)."""
+    from wdd.operators.substring import (anchor_candidates,
+                                         verify_substring_pairs)
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 11 == 0)
+    toks = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(60)),
+                    lambda j: F.concat(F.lit("w"),
+                                       F.col("doc_id").cast("string"),
+                                       F.lit("p"), j.cast("string"))), " ")
+    base = d.select(F.col("doc_id").alias("id"), toks.alias("text"))
+    variant = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.lit("Q"), F.col("id").cast("string"), F.lit("% "),
+                 F.expr("substring(text, 1, 250 + (id % 3) * 50)"),
+                 F.lit("!EOF")).alias("text"))
+    corpus = base.unionByName(variant)
+    cand = anchor_candidates(corpus, "id", "text")
+    bogus = spark.createDataFrame([(0, 11, "substring")],
+                                  "a LONG, b LONG, source STRING")
+    out = verify_substring_pairs(cand.unionByName(bogus), corpus,
+                                 "id", "text", min_len=100)
+    return out.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+                      F.col("score").cast("long").alias("overlap"))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic source-mixture sampling: down-weight src0 to 20%,
     src1 to 50%, keep the rest — md5-hash Bernoulli, zero shuffles."""
@@ -1205,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunks": q_audio_chunks,
         "lsh_minhash_pairs": q_lsh_minhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "substring_pairs_exact": q_substring_pairs_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_train_topk": q_ivf_train_topk,
@@ -2227,6 +2266,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = p.doc_a
         JOIN sizes sb ON sb.doc_id = p.doc_b
         WHERE shared >= 2
+    """
+    # The suffix-array exact-verify leg: the planted (pair, true overlap)
+    # relation in closed form — overlap is 250 + (doc_id%3)*50 by
+    # construction (sentinel-bounded slice of a per-doc-unique token
+    # stream; see q_substring_pairs_exact), never the anchor window L, so
+    # the row is green only if the SA/Kasai verification computed the real
+    # maximum. The planted bogus candidate has no >=100-char overlap and
+    # is absent from both sides.
+    o["substring_pairs_exact"] = """
+        SELECT doc_id AS id_a,
+               (doc_id + 1000000)::BIGINT AS id_b,
+               (250 + (doc_id % 3) * 50)::BIGINT AS overlap
+        FROM documents
+        WHERE doc_id % 11 = 0
     """
     # IVF with a TRAINED codebook: the k-means trajectory is deterministic
     # (hash-ordered init, tie-broken assignment, 6-dp-rounded means — see
