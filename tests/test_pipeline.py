@@ -262,3 +262,29 @@ def test_embedding_only_duplicates_cluster(spark, sf_dir):
                            F.col("warc_ts").alias("ts_b"),
                            F.col("cluster_id").alias("c_b")), ["url_b", "ts_b"]))
     assert all(r.c_a != r.c_b for r in j0.collect())
+
+
+def test_interleaved_pipelines_keep_their_caches(spark, sf_dir):
+    """VERDICT r4 #6: the pair-stage cache registry is keyed per pipeline
+    run — an eager run releasing its caches must NOT unpin a concurrently
+    in-flight (lazy) run's exploded tables."""
+    from wdd.operators import pairs as pairmod
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    small = pages.limit(120)
+    before = set(pairmod._PERSISTED)
+    # pipeline B constructs lazily: its candidate stages pin caches now,
+    # its final action runs later
+    resB = run_dedup_pipeline(spark, small, eager_stages=False)
+    tokens_b = [t for t in pairmod._PERSISTED if t not in before]
+    assert len(tokens_b) == 1 and tokens_b[0].startswith("pipeline-")
+    frames_b = list(pairmod._PERSISTED[tokens_b[0]])
+    assert frames_b
+    # pipeline A runs eagerly to completion and releases ITS token only
+    run_dedup_pipeline(spark, small, eager_stages=True)
+    assert tokens_b[0] in pairmod._PERSISTED
+    assert all(df.storageLevel.useMemory for df in frames_b), \
+        "A's release unpinned B's in-flight caches"
+    # B still completes
+    assert resB.clusters.count() > 0
+    pairmod.release_stage_caches(tokens_b[0])
+    assert not any(df.storageLevel.useMemory for df in frames_b)

@@ -36,7 +36,8 @@ def band_keys_col(sig_col: str, bands: int, rows: int):
 
 def lsh_candidates(minhashes: DataFrame, id_col: str = "page_id",
                    sig_col: str = "signature",
-                   cfg: WddConfig = DEFAULT) -> DataFrame:
+                   cfg: WddConfig = DEFAULT,
+                   cache_token: str | None = None) -> DataFrame:
     """Candidate pairs (a, b, source='lsh') from LSH banding."""
     # single 64-bit group key: the band index is already salted INTO the
     # hash (band_keys_col), so a separate band column would only repeat it —
@@ -59,7 +60,7 @@ def lsh_candidates(minhashes: DataFrame, id_col: str = "page_id",
     pairs = pairs_from_groups_scalable(
         exploded, ["band_key"], id_col,
         cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
-        source="lsh")
+        source="lsh", cache_token=cache_token)
     return dedup_pairs(pairs)
 
 

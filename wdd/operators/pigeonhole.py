@@ -38,7 +38,8 @@ def block_keys_col(sim_col: str, n_blocks: int, bits: int):
 
 
 def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
-                          cfg: WddConfig = DEFAULT) -> DataFrame:
+                          cfg: WddConfig = DEFAULT,
+                          cache_token: str | None = None) -> DataFrame:
     """Candidate (a, b) pairs of DISTINCT simhash values within Hamming k.
 
     Input: any DataFrame with a simhash64 column; distinct is taken here.
@@ -55,7 +56,7 @@ def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
     pairs = pairs_from_groups_scalable(
         exploded, ["block_key"], "sim",
         cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
-        source="pigeonhole")
+        source="pigeonhole", cache_token=cache_token)
     verified = pairs.where(
         F.bit_count(F.col("a").bitwiseXOR(F.col("b"))) <= cfg.hamming_k
     )
@@ -103,7 +104,8 @@ def parts_block_keys_col(parts_col: str, n_blocks: int, bits: int):
 
 def pigeonhole_candidates_parts(simhashes: DataFrame,
                                 parts_col: str = "sim_parts",
-                                cfg: WddConfig = DEFAULT) -> DataFrame:
+                                cfg: WddConfig = DEFAULT,
+                                cache_token: str | None = None) -> DataFrame:
     """pigeonhole_candidates for f > 64: simhash as array<long> of f/64
     little-endian words (the layout make_simhash_parts_udf emits). Same
     plan shape as the 64-bit path — distinct values, one explode, one
@@ -123,7 +125,7 @@ def pigeonhole_candidates_parts(simhashes: DataFrame,
     pairs = pairs_from_groups_scalable(
         exploded, ["block_key"], "sim",
         cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
-        source="pigeonhole")
+        source="pigeonhole", cache_token=cache_token)
     verified = pairs.where(hamming_parts_col("a", "b") <= cfg.hamming_k)
     return dedup_pairs(verified)
 

@@ -107,7 +107,8 @@ def _make_anchor_udf(L: int, q: int):
 
 
 def anchor_candidates(docs: DataFrame, id_col: str, text_col: str,
-                      cfg: WddConfig = DEFAULT) -> DataFrame:
+                      cfg: WddConfig = DEFAULT,
+                      cache_token: str | None = None) -> DataFrame:
     """Candidate pairs of docs sharing >=1 exact L-char anchored window."""
     udf = _make_anchor_udf(cfg.min_overlap_chars, cfg.anchor_modulus)
     # rolling_anchor_hashes returns np.unique output, so (id, anchor) rows
@@ -117,7 +118,7 @@ def anchor_candidates(docs: DataFrame, id_col: str, text_col: str,
     pairs = pairs_from_groups_scalable(
         exploded, ["anchor"], id_col,
         cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
-        source="substring")
+        source="substring", cache_token=cache_token)
     return dedup_pairs(pairs)
 
 
@@ -211,7 +212,8 @@ def verify_substring_pairs(pairs: DataFrame, docs: DataFrame,
 def substring_candidates(docs: DataFrame, id_col: str = "id",
                          text_col: str = "text",
                          cfg: WddConfig = DEFAULT,
-                         precise: bool = False) -> DataFrame:
+                         precise: bool = False,
+                         cache_token: str | None = None) -> DataFrame:
     """Full stage: anchor candidates, then either
 
     precise=False (default): trust the anchor match — a shared anchor IS a
@@ -221,7 +223,8 @@ def substring_candidates(docs: DataFrame, id_col: str = "id",
     precise=True: exact suffix-array/Kasai verification per pair; kills
       collisions and reports the true max overlap length as score.
     """
-    cand = anchor_candidates(docs, id_col, text_col, cfg)
+    cand = anchor_candidates(docs, id_col, text_col, cfg,
+                             cache_token=cache_token)
     if precise:
         return verify_substring_pairs(cand, docs, id_col, text_col,
                                       cfg.min_overlap_chars)

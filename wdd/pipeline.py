@@ -57,7 +57,13 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     that feed multiple consumers and defers everything else to the final
     actions — ~18 fewer Spark jobs per run, for latency-sensitive paths
     (per-stage wall metrics then cover only plan construction)."""
+    import uuid
     metrics = MetricsCollector()
+    # per-run cache scope: candidate stages pin their exploded tables under
+    # this token, and only THIS run's release below unpins them — pipelines
+    # interleaving in one session never release each other's caches
+    # (round-4 verdict wrong #3)
+    cache_token = f"pipeline-{uuid.uuid4().hex}"
 
     def mat(name: str, df: DataFrame, t: stage_timer,
             shared: bool = False) -> DataFrame:
@@ -201,7 +207,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # -- stage: LSH band candidates + Jaccard verification (J1, J5) --------
     with stage_timer(metrics, "edges_lsh") as t:
         lsh_cand = L.lsh_candidates(nd_reps, id_col="rep", sig_col="signature",
-                                    cfg=cfg)
+                                    cfg=cfg, cache_token=cache_token)
         lsh_edges = L.verify_jaccard(
             lsh_cand, reps.select("rep", "signature"),
             id_col="rep", sig_col="signature",
@@ -211,10 +217,12 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
 
     # -- stage: Hamming pigeonhole candidates (J2) --------------------------
     with stage_timer(metrics, "edges_pigeonhole") as t:
-        sim_pairs = (P.pigeonhole_candidates_parts(nd_reps, parts_col=sim_col,
-                                                   cfg=cfg) if wide
-                     else P.pigeonhole_candidates(nd_reps, id_col=sim_col,
-                                                  cfg=cfg))
+        sim_pairs = (P.pigeonhole_candidates_parts(
+                        nd_reps, parts_col=sim_col, cfg=cfg,
+                        cache_token=cache_token) if wide
+                     else P.pigeonhole_candidates(
+                        nd_reps, id_col=sim_col, cfg=cfg,
+                        cache_token=cache_token))
         ph_edges = P.simhash_pairs_to_page_pairs(
             sim_pairs, nd_reps, id_col="rep", sim_col=sim_col
         ).withColumn(
@@ -288,6 +296,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                 .repartition(udf_parallelism)
             sub_edges = substring_candidates(
                 rep_texts, id_col="id", text_col="text", cfg=cfg,
+                cache_token=cache_token,
             ).select("a", "b", "source", "score")
             sub_edges = mat("edges_substring", sub_edges, t)
 
@@ -298,7 +307,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # actions, so the caches must outlive this function (evictable anyway).
     if eager_stages or store is not None:
         from wdd.operators.pairs import release_stage_caches
-        release_stage_caches()
+        release_stage_caches(cache_token)
 
     # -- stage: union candidate pairs ---------------------------------------
     with stage_timer(metrics, "candidate_pairs") as t:
