@@ -1549,7 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": r"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
               FROM documents),
             grams AS (
               SELECT doc_id,
@@ -1573,7 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": r"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
               FROM documents),
             uni AS (
               SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS f,
@@ -1918,7 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_pack": r"""
             WITH toks AS (
               SELECT doc_id,
-                     len(list_filter(string_split(text, ' '),
+                     len(list_filter(string_split_regex(text, '\s+'),
                                      t -> t <> ''))::BIGINT AS n_tokens
               FROM documents)
             SELECT doc_id, n_tokens,
@@ -1938,7 +1938,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
               FROM corpus),
             lines AS (
               SELECT doc_id, i AS line_no,
@@ -2026,7 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "novelty_scores": r"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
               FROM documents),
             grams AS (
               SELECT doc_id,

@@ -302,3 +302,15 @@ def test_kmeans_train_early_stop(spark):
     kmeans_train(emb, k=4, iters=10, tol=1e9,
                  log=lambda s: moves.append(s))
     assert len(moves) == 1   # huge tol -> stops after the first round
+
+
+def test_shard_pack_rejects_more_than_256_buckets(spark):
+    """ADVICE r4: buckets beyond the leading-byte key's 256 range raise
+    instead of silently behaving as 256."""
+    import pytest as _pytest
+    from wdd.operators.curation import shard_pack
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match=r"\[1, 256\]"):
+        shard_pack(df, budget=10, buckets=1024)
+    with _pytest.raises(ValueError):
+        shard_pack(df, budget=10, buckets=0)

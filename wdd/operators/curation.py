@@ -42,7 +42,11 @@ def _word_ngrams(toks, n: int):
 
 
 def tokens_col(text_col: str):
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # \s+ (not ' '): identical on the single-spaced fixtures, but real web
+    # text carries tabs/newlines — one tokenization, engine AND oracle
+    # (every consumer oracle uses string_split_regex(text, '\s+')), so the
+    # parity holds beyond the fixture (round-4 ADVICE)
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 4,
@@ -148,7 +152,16 @@ def shard_pack(df: DataFrame, budget: int, id_col: str = "doc_id",
     heavy running sum is a window per bucket, and the cross-bucket offsets
     come from a `buckets`-row aggregate cumulated on the driver-sized side
     and broadcast back. Same result as the global window, no global sort.
+
+    `buckets` tops out at 256: the range key is the order hash's leading
+    byte (two hex chars), so more than 256 buckets cannot be distinguished.
+    Values above 256 raise rather than silently degrading (round-4 ADVICE);
+    widening past 256 means deriving the bucket from more hex chars.
     """
+    if buckets > 256 or buckets < 1:
+        raise ValueError(
+            f"buckets must be in [1, 256] (leading-byte range key), "
+            f"got {buckets}")
     order = F.md5(F.col(id_col).cast("string"))
     toks = (df.select(F.col(id_col),
                       F.size(tokens_col(text_col)).cast("long")
@@ -158,7 +171,7 @@ def shard_pack(df: DataFrame, budget: int, id_col: str = "doc_id",
             # bucket ascending + in-bucket order == the global order
             .withColumn("_bkt", F.floor(
                 F.conv(F.substring("_ord", 1, 2), 16, 10).cast("long")
-                * min(buckets, 256) / 256).cast("long")))
+                * buckets / 256).cast("long")))
     local_w = (Window.partitionBy("_bkt").orderBy("_ord", id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = toks.withColumn("_cum", F.sum("n_tokens").over(local_w))

@@ -152,15 +152,15 @@ def ngram_bottomk_sketch(df: DataFrame, text_col: str = "text",
 
 
 def _make_winnow_udf(L: int, q: int, k: int):
-    from wdd.operators.substring import rolling_anchor_hashes
+    from wdd.operators.substring import batch_anchor_hashes
 
     @pandas_udf(ArrayType(LongType()))
     def winnow_udf(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            h = rolling_anchor_hashes(t if isinstance(t, str) else "", L, q)
-            out.append(sorted(h.tolist())[:k])
-        return pd.Series(out)
+        # one rolling-hash pass over the whole Arrow batch (boundary-masked
+        # concatenation — substring.py batch kernel); per-doc output is
+        # already sorted-unique, so the k smallest is a head slice
+        hashes = batch_anchor_hashes(list(text), L, q)
+        return pd.Series([h[:k] for h in hashes])
     return winnow_udf
 
 

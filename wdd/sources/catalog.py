@@ -112,9 +112,13 @@ class CatalogWriter:
 
         The session catalog reads created tables back as v1, which
         supports neither RTAS nor v2 append — so replace semantics here
-        are DROP + CREATE: a metadata-path difference only, the committed
-        files and partition layout are identical to what an Iceberg RTAS
-        commits for an identity spec."""
+        are DROP + CREATE: the committed files and partition layout are
+        identical to what an Iceberg RTAS commits for an identity spec,
+        but the sequence is NOT atomic — a crash between the two
+        statements loses the table, and a concurrent reader can observe
+        it missing. Iceberg RTAS swaps metadata pointers atomically; to
+        shrink the window without the jar, create under a temp name and
+        ALTER TABLE RENAME over the target."""
         spec = PIPELINE_TABLE_SPECS[name]
         if any(kind != "identity" for kind, _ in spec):
             raise ValueError(
