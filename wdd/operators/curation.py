@@ -187,12 +187,19 @@ def shard_pack(df: DataFrame, budget: int, id_col: str = "doc_id",
             .select(id_col, "n_tokens", "shard_id"))
 
 
-def split_lines(text_col: str, seg: int = 10):
-    """Array of "lines" for line-level dedup. Real web text splits on
-    newline; the synthetic documents fixture is single-line, so line
-    boundaries are synthesized as fixed `seg`-token segments (deterministic
-    and engine-portable). Swapping in `F.split(text_col, "\\n")` is the
-    one-line change for corpora with real line structure."""
+def split_lines(text_col: str, seg: int = 10, mode: str = "segments"):
+    """Array of "lines" for line-level dedup.
+
+    mode="newline": real line structure — split on \\n, drop empty lines
+      (the path a real web corpus uses; driver-oracled by
+      `line_dedup_newline`).
+    mode="segments": the synthetic documents fixture is single-line, so
+      line boundaries are synthesized as fixed `seg`-token segments
+      (deterministic and engine-portable)."""
+    if mode == "newline":
+        return F.filter(F.split(F.col(text_col), "\n"), lambda t: t != "")
+    if mode != "segments":
+        raise ValueError(f"unknown split_lines mode {mode!r}")
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.ceil(F.size(toks) / seg).cast("int") - 1)
     segs = F.transform(
@@ -202,7 +209,8 @@ def split_lines(text_col: str, seg: int = 10):
 
 
 def line_dedup(df: DataFrame, min_docs: int = 2, seg: int = 10,
-               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+               id_col: str = "doc_id", text_col: str = "text",
+               mode: str = "segments") -> DataFrame:
     """Corpus-wide line-level dedup (CCNet / C4 style): a line that occurs
     in >= `min_docs` DISTINCT documents is boilerplate (headers, footers,
     cookie banners); every occurrence except the FIRST — ordered by
@@ -217,7 +225,7 @@ def line_dedup(df: DataFrame, min_docs: int = 2, seg: int = 10,
     is pre-filtered by the non-empty guard) -> per-doc re-aggregate.
     No windows, no global sort, nothing driver-sided.
     """
-    lines = (df.select(id_col, F.posexplode(split_lines(text_col, seg))
+    lines = (df.select(id_col, F.posexplode(split_lines(text_col, seg, mode))
                        .alias("line_no", "line"))
              .withColumn("h", F.md5("line")))
     stats = lines.groupBy("h").agg(
