@@ -288,3 +288,15 @@ def test_interleaved_pipelines_keep_their_caches(spark, sf_dir):
     assert resB.clusters.count() > 0
     pairmod.release_stage_caches(tokens_b[0])
     assert not any(df.storageLevel.useMemory for df in frames_b)
+
+
+def test_embedding_stage_plan_has_no_nested_loop_join(spark, sf_dir):
+    """The edges_embedding stage must stay a bucket equi-join + id joins —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the flagship
+    candidate-pair plan (the round-1 scale-killer class)."""
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False,
+                           with_embeddings=True)
+    res = run_dedup_pipeline(spark, pages, eager_stages=False)
+    plan = res.candidate_pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
