@@ -300,3 +300,15 @@ def test_embedding_stage_plan_has_no_nested_loop_join(spark, sf_dir):
     plan = res.candidate_pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_column_all_null_skips_stage(spark, sf_dir):
+    """An embedding column that is entirely null (e.g. a corpus slice
+    without vectors) must skip the edges_embedding stage cleanly."""
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    with_null = pages.limit(60).withColumn(
+        "embedding", F.lit(None).cast("array<float>"))
+    res = run_dedup_pipeline(spark, with_null, eager_stages=False)
+    assert res.candidate_pairs.where(
+        F.col("source") == "embedding").count() == 0
+    assert res.clusters.count() == 60

@@ -104,6 +104,32 @@ def main():
         plan_of(e.q_line_dedup(spark, SF)),
     )
 
+    sections["line_dedup_newline"] = (
+        "Same operator over real \\n lines — plan shape must be identical "
+        "to the segments mode (no extra shuffles/windows from the split):",
+        plan_of(e.q_line_dedup_newline(spark, SF)),
+    )
+
+    sections["ivf_train_topk"] = (
+        "IVF serving with the TRAINED codebook — centroid assignment must "
+        "broadcast the (driver-small) centroid table; no cartesian join "
+        "outside the documented broadcast-small baseline:",
+        plan_of(e.q_ivf_train_topk(spark, SF)),
+    )
+
+    # the flagship embedding edge stage (candidate graph slice): bucket
+    # equi-join + id re-joins only
+    from wdd.sources.pages import synth_pages
+    from wdd.pipeline import run_dedup_pipeline
+    pages, _ = synth_pages(spark, SF, with_truth=False, with_embeddings=True)
+    res = run_dedup_pipeline(spark, pages, eager_stages=False)
+    sections["pipeline_candidates_with_embedding"] = (
+        "Flagship candidate-pair union incl. the edges_embedding source — "
+        "every join an equi-join; the sign-LSH bucket join carries only "
+        "(id, table, bucket) longs:",
+        plan_of(res.candidate_pairs),
+    )
+
     checks = []
     p = sections["scan_pushdown"][1]
     checks.append(("scan PushedFilters non-empty",
@@ -136,6 +162,19 @@ def main():
     ld = sections["line_dedup"][1]
     checks.append(("line dedup has no Window / single-partition exchange",
                    "Window" not in ld and "SinglePartition" not in ld))
+    ldn = sections["line_dedup_newline"][1]
+    checks.append(("newline line dedup also window-free",
+                   "Window" not in ldn and "SinglePartition" not in ldn))
+    # the centroid crossJoin is broadcast-small BY DESIGN (k x dim rows) —
+    # it compiles to a BroadcastNestedLoopJoin; the scale-killer to forbid
+    # is a non-broadcast CartesianProduct
+    ivt = sections["ivf_train_topk"][1]
+    checks.append(("ivf_train serving has no non-broadcast cartesian",
+                   "CartesianProduct" not in ivt))
+    pc = sections["pipeline_candidates_with_embedding"][1]
+    checks.append(("flagship candidates (with embedding) equi-joins only",
+                   "BroadcastNestedLoopJoin" not in pc
+                   and "CartesianProduct" not in pc))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
