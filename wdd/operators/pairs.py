@@ -34,6 +34,16 @@ from wdd.config import DEFAULT
 _PERSISTED: dict[str | None, list[DataFrame]] = {}
 
 
+def register_stage_cache(cache_token: str | None, df: DataFrame) -> DataFrame:
+    """Pin an already-persisted frame under `cache_token` so a later
+    release_stage_caches(cache_token) unpersists it. Used by the lazy
+    pipeline path for the frames it persists itself (prepped, sigs, reps,
+    emb_reps, ...), so deferred runs can be fully released through
+    PipelineResult.release() instead of leaking for the session lifetime."""
+    _PERSISTED.setdefault(cache_token, []).append(df)
+    return df
+
+
 def release_stage_caches(cache_token: str | None = None) -> int:
     """Unpersist the exploded tables pinned under `cache_token` (None =
     the shared default bucket). Safe to call any time — an unpersisted
