@@ -160,11 +160,29 @@ def main():
     # steady-state throughput, not first-run JVM compilation
     warm = run_dedup_pipeline(spark, pages.limit(300), eager_stages=False)
     warm.clusters.write.format("noop").mode("overwrite").save()
+    warm.release()
 
-    t0 = time.monotonic()
-    res = run_dedup_pipeline(spark, pages, eager_stages=False)
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
-    pipeline_wall = time.monotonic() - t0
+    # Headline protocol (round-5 verdict next #2): the published number is
+    # the MEDIAN of WDD_BENCH_HEADLINE_REPS back-to-back runs (default 3 on
+    # the driver-facing x1 path; 1 on scaling legs, where run_scaling.py
+    # already interleaves matched pairs), recorded alongside an ambient
+    # 1-min load probe — BENCH_r05.json published a single shot from a
+    # known-noisy window and misstated the engine ~2x.
+    reps = int(os.environ.get("WDD_BENCH_HEADLINE_REPS",
+                              "3" if replicas == 1 else "1"))
+    ambient_load = round(os.getloadavg()[0], 2)
+    samples: list[float] = []
+    res = None
+    for i in range(reps):
+        if res is not None:
+            res.release()
+        t0 = time.monotonic()
+        res = run_dedup_pipeline(spark, pages, eager_stages=False)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        samples.append(round(time.monotonic() - t0, 3))
+    s = sorted(samples)
+    pipeline_wall = (s[len(s) // 2] if len(s) % 2
+                     else round((s[len(s) // 2 - 1] + s[len(s) // 2]) / 2, 3))
     timings["dedup_pipeline"] = round(pipeline_wall, 3)
 
     # recall vs planted truth (not timed into the headline)
@@ -231,6 +249,9 @@ def main():
         "cpus": total_cores,
         "executors": int(executors) if executors else None,
         "pages_per_sec": round(pages_per_sec, 2),
+        "headline_reps": reps,
+        "headline_samples": samples,
+        "ambient_load_1min": ambient_load,
         "clusters": n_clusters,
         "dup_pair_recall": round(recall, 4) if recall is not None else None,
         "cc_iterations": res.cc_iterations,
