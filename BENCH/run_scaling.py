@@ -124,7 +124,12 @@ def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
     # an oversized 96g heap measured ~2x SLOWER on both legs (huge-heap GC
     # plus JVM RSS fighting the tmpfs shuffle dir for RAM — with a small
     # heap Spark spills early to /dev/shm, which is RAM-speed anyway).
-    heap_gb = max(2, 2 * cpus)
+    # floor also scales with the CORPUS (replicas/64 GiB): every leg's single
+    # JVM holds the whole replicated pages cache regardless of core count, so
+    # an x256 1-core leg on the x128-era 2 GiB floor would evict/OOM where
+    # the x128 leg did not — the floor models per-node data, the 2 GiB/core
+    # term models per-node compute memory.
+    heap_gb = max(2, 2 * cpus, replicas // 64)
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                # WDD_DRIVER_MEM only affects python-launched sessions; under
@@ -144,7 +149,10 @@ def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
             ["taskset", "-c", f"0-{cpus - 1}",
              SPARK_SUBMIT, "--driver-memory", env["WDD_DRIVER_MEM"],
              "--py-files", str(zpath), str(ROOT / "bench.py")],
-            env=env, capture_output=True, text=True, timeout=2400,
+            env=env, capture_output=True, text=True,
+            # x128's 1-core legs run ~15-20 min; larger corpora scale the
+            # ceiling with them (x256 at ~800 pages/sec is ~40 min/leg)
+            timeout=max(2400, replicas * 19),
             cwd=str(ROOT))
         if out.returncode == 0:
             for line in reversed(out.stdout.strip().splitlines()):

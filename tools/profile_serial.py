@@ -44,6 +44,11 @@ spark = get_spark(
         # the session builder disables the UI; the REST decomposition below
         # needs it (it IS the measurement instrument here)
         "spark.ui.enabled": "true",
+        # WDD_NO_AQE=1: A/B the adaptive executor's job-per-shuffle-stage
+        # driver overhead (the 1-core x128 baseline measured 124 jobs and
+        # ~46 s of non-executor wall)
+        **({"spark.sql.adaptive.enabled": "false"}
+           if os.environ.get("WDD_NO_AQE") else {}),
     })
 spark.sparkContext.setLogLevel("ERROR")
 
