@@ -209,7 +209,7 @@ def main():
                      "regroup_daily", "json_props", "pricing_summary",
                      "top_customers", "cosine_topk", "lsh_minhash_pairs",
                      "pigeonhole_surrogate", "token_stats", "quality_scores",
-                     "embedding_dup_pairs", "pigeonhole256_surrogate",
+                     "embedding_dup_pairs",
                      "substring_pairs", "job_dedup", "decontaminate",
                      "repetition_stats", "domain_cap_sample", "shard_pack",
                      "ivf_topk", "ivf_train_topk", "line_dedup",
