@@ -38,8 +38,31 @@ _CORPUS_SQL = """
 """
 
 
+def _fanout(spark, df):
+    """Fan a tiny input out to the session's parallelism.
+
+    The sf* driver tables arrive as ONE small parquet file = ONE input
+    split, so every per-row expression before the first exchange runs on a
+    single core (measured: novelty_scores spent 10 of its 13 s building
+    n-grams in a 1-task stage at sf0.1). Production corpora arrive as
+    thousands of splits, so this is a no-op (condition false) for any
+    realistically-sized input — plans at scale are untouched. Applied only
+    to the per-row-compute-heavy inputs (documents, embeddings); pure
+    relational queries keep their scan-shaped plans."""
+    if os.environ.get("WDD_FANOUT", "1") == "0":   # A/B isolation knob
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/{DOCS}")
+    return _fanout(spark, spark.read.parquet(f"{sf_dir}/{DOCS}"))
+
+
+def _emb_table(spark, sf_dir):
+    return _fanout(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _corpus(spark, sf_dir):
@@ -311,7 +334,7 @@ def q_pigeonhole256_surrogate(spark, sf_dir):
 def q_cosine_topk(spark, sf_dir):
     """Similarity search: exact brute-force cosine top-5 for 5 queries."""
     from wdd.operators.similarity import cosine_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _emb_table(spark, sf_dir) \
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     q = emb.where(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -488,7 +511,7 @@ def q_embedding_dup_pairs_exact(spark, sf_dir):
     baseline and the API-small-input path; the production default is the
     LSH-bucketed method above."""
     from wdd.operators.similarity import cosine_dup_pairs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _emb_table(spark, sf_dir) \
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     return cosine_dup_pairs(emb, threshold=0.3, method="exact")
 
@@ -814,7 +837,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     bucket equi-join, never a nested-loop cross product — is identical at
     every width and is what scales to 100 TB."""
     from wdd.operators.similarity import lsh_ann_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _emb_table(spark, sf_dir) \
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     q = emb.where(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -832,7 +855,7 @@ def q_ivf_topk(spark, sf_dir):
     so the approximate result itself is value-checked, not just its
     shape."""
     from wdd.operators.similarity import ivf_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _emb_table(spark, sf_dir) \
         .select("vec_id",
                 F.col("embedding").cast("array<double>").alias("embedding"))
     cent = emb.where(F.col("vec_id") % 37 == 0) \
@@ -855,7 +878,7 @@ def q_ivf_train_topk(spark, sf_dir):
     rounds plus the existing IVF SQL — the trained centroid VALUES are
     value-checked through the final ranking, not assumed."""
     from wdd.operators.similarity import ivf_topk, kmeans_train
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _emb_table(spark, sf_dir) \
         .select("vec_id",
                 F.col("embedding").cast("array<double>").alias("embedding"))
     cent = kmeans_train(emb, k=8, iters=3)
