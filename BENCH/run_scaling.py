@@ -45,6 +45,20 @@ SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 # is about on a real cluster where every node brings its own memory channels.
 N_CORES = int(os.environ.get("WDD_SCALE_N", "2"))
 N4_CORES = 4 * N_CORES
+# Calm-window gate (opt-in): before each pair, wait until the box's OWN
+# attainable memcpy scaling on this span is at least this value. The gate
+# controls WHEN a pair is measured, never which pairs are kept: every pair
+# that runs is recorded verbatim (no keep-best), and every rejected probe
+# is recorded alongside the pair it delayed. Rationale: the shared host's
+# neighbor storms take ANY 4-wide workload below 0.65 regardless of
+# framework (BENCH/BASELINE.md round-4 decomposition, zero-coordination
+# control at 0.40), so a pair launched into a storm measures the
+# neighbors, not the engine. If the gate cannot be met within
+# WDD_CALM_WAIT_S seconds it relaxes by 0.05 per further half-budget and
+# the pair runs anyway — the run always completes.
+CALM_GATE = float(os.environ.get("WDD_CALM_GATE_MEMCPY", "0"))
+CALM_WAIT_S = int(os.environ.get("WDD_CALM_WAIT_S", "1500"))
+CALM_PROBE_SLEEP_S = int(os.environ.get("WDD_CALM_PROBE_SLEEP_S", "150"))
 
 
 def build_zip() -> Path:
@@ -189,22 +203,8 @@ def main():
     # earlier one.
     runs: dict[int, list] = {N_CORES: [], N4_CORES: []}
     probes: list[dict] = []
-    for i in range(repeats):
-        hw = hardware_ceiling()
-        probes.append(hw)
-        print(f"window probe {i}: attainable ceilings {hw}", flush=True)
-        # alternate leg order per pair: a leg pair spans ~25 min on this
-        # host, long enough for ambient load to drift WITHIN the pair
-        # (observed: a storm arriving during the second leg moved a pair
-        # 0.9 -> 0.62). Running (N, 4N), (4N, N), ... cancels first-order
-        # linear drift across the pair sample.
-        legs = (N_CORES, N4_CORES) if i % 2 == 0 else (N4_CORES, N_CORES)
-        for cpus in legs:
-            r = run_leg(cpus, replicas, zpath)
-            runs[cpus].append(r)
-            print(f"local[{cpus}] run{i}: wall={r['value']}s "
-                  f"pps={r['pages_per_sec']} recall={r['dup_pair_recall']}",
-                  flush=True)
+    rejected: list[list] = []
+
     # efficiency of each adjacent (N, 4N) pair: the MATCHED-WINDOW
     # measurements — both legs of a pair run back-to-back under ~the same
     # ambient load, so a pair ratio is the cleanest single observation
@@ -230,53 +230,111 @@ def main():
             "probes_clean": pr["kernel"] <= 1.0 and pr["memcpy"] <= 1.0,
             "diagnostic_probe_normalized": round(
                 eff_i / ((kern_c * memc_c) ** 0.5), 3),
+            # calm-gate transparency: every probe the gate rejected while
+            # delaying THIS pair, verbatim (empty when the gate is off or
+            # the first probe passed) — the gate shifts pairs in time, it
+            # never drops a measured pair from the record.
+            "calm_gate": CALM_GATE or None,
+            "rejected_probes": rejected[i],
         }
 
-    pairs = [pair_record(i) for i in range(repeats)]
-    pair_effs = sorted(p["efficiency_raw"] for p in pairs)
-    median_eff = pair_effs[len(pair_effs) // 2] if repeats % 2 else round(
-        (pair_effs[repeats // 2 - 1] + pair_effs[repeats // 2]) / 2, 3)
-    best_pair = max(pairs, key=lambda p: p["efficiency_raw"])
-    best_clean = max((p for p in pairs if p["probes_clean"]),
-                     key=lambda p: p["efficiency_raw"], default=None)
-    result = {
-        "topology": f"spark-submit --py-files dist/wdd.zip, local[{N_CORES}] "
-                    f"vs local[{N4_CORES}], same input, {repeats} "
-                    "interleaved matched-window pairs",
-        "input_pages": runs[N_CORES][0]["pages"],
-        "replicas": replicas,
-        "recall_all_legs": sorted({r["dup_pair_recall"]
-                                   for rs in runs.values() for r in rs}),
-        # THIS RUN's numbers, verbatim — no keep-best ratcheting across
-        # runs (round-2 advice: the headline artifact must not record only
-        # the single most favorable window). History: scaling_history.jsonl.
-        "matched_pairs": pairs,
-        "pair_efficiency_raw": {
-            "median": median_eff,
-            "min": pair_effs[0],
-            "max": pair_effs[-1],
-        },
-        "best_matched_pair": {
-            **best_pair,
-            "leg_N": runs[N_CORES][pairs.index(best_pair)],
-            "leg_4N": runs[N4_CORES][pairs.index(best_pair)],
-        },
-        "best_clean_probe_pair": best_clean,
-        "target": 0.8,
-        # pass/fail is RAW matched-pair efficiency only; the probe
-        # normalization never feeds a meets_* flag (round-2 advice)
-        "meets_target_raw_median": median_eff >= 0.8,
-        "meets_target_raw_best_pair": best_pair["efficiency_raw"] >= 0.8,
-    }
-    with open(ROOT / "BENCH" / "scaling.json", "w") as f:
-        json.dump(result, f, indent=1)
+    def write_result(done: int):
+        """Bank the pairs completed so far: a multi-hour gated run must not
+        lose its record to a mid-run crash/timeout, so scaling.json is
+        rewritten after every completed pair (the history line is appended
+        once, when the run finishes)."""
+        pairs = [pair_record(i) for i in range(done)]
+        pair_effs = sorted(p["efficiency_raw"] for p in pairs)
+        median_eff = pair_effs[done // 2] if done % 2 else round(
+            (pair_effs[done // 2 - 1] + pair_effs[done // 2]) / 2, 3)
+        best_pair = max(pairs, key=lambda p: p["efficiency_raw"])
+        best_clean = max((p for p in pairs if p["probes_clean"]),
+                         key=lambda p: p["efficiency_raw"], default=None)
+        result = {
+            "topology": f"spark-submit --py-files dist/wdd.zip, "
+                        f"local[{N_CORES}] vs local[{N4_CORES}], same input, "
+                        f"{done} interleaved matched-window pairs",
+            "input_pages": runs[N_CORES][0]["pages"],
+            "replicas": replicas,
+            "pairs_completed": done,
+            "repeats_planned": repeats,
+            "recall_all_legs": sorted({r["dup_pair_recall"]
+                                       for rs in runs.values() for r in rs}),
+            # THIS RUN's numbers, verbatim — no keep-best ratcheting across
+            # runs (round-2 advice: the headline artifact must not record
+            # only the single most favorable window). History:
+            # scaling_history.jsonl.
+            "matched_pairs": pairs,
+            "pair_efficiency_raw": {
+                "median": median_eff,
+                "min": pair_effs[0],
+                "max": pair_effs[-1],
+            },
+            "best_matched_pair": {
+                **best_pair,
+                "leg_N": runs[N_CORES][pairs.index(best_pair)],
+                "leg_4N": runs[N4_CORES][pairs.index(best_pair)],
+            },
+            "best_clean_probe_pair": best_clean,
+            "target": 0.8,
+            # pass/fail is RAW matched-pair efficiency only; the probe
+            # normalization never feeds a meets_* flag (round-2 advice)
+            "meets_target_raw_median": median_eff >= 0.8,
+            "meets_target_raw_best_pair":
+                best_pair["efficiency_raw"] >= 0.8,
+        }
+        with open(ROOT / "BENCH" / "scaling.json", "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"[{done}/{repeats} pairs] raw efficiencies:",
+              [p["efficiency_raw"] for p in pairs],
+              "median:", median_eff,
+              "best:", best_pair["efficiency_raw"],
+              "best clean-probe pair:",
+              best_clean["efficiency_raw"] if best_clean else None,
+              flush=True)
+        return result
+
+    for i in range(repeats):
+        hw = hardware_ceiling()
+        rej = []
+        if CALM_GATE > 0:
+            waited, gate = 0.0, CALM_GATE
+            # a probe "ceiling" above ~1.05 is itself storm evidence (the
+            # N-proc baseline got robbed mid-probe), so it fails the gate too
+            while not (gate <= hw["memcpy"] <= 1.05):
+                rej.append(hw)
+                if waited >= CALM_WAIT_S:
+                    gate = round(gate - 0.05, 2)
+                    waited = 0.0
+                    print(f"pair {i}: gate relaxed to {gate}", flush=True)
+                    if gate <= 0.5:
+                        break
+                    continue
+                time.sleep(CALM_PROBE_SLEEP_S)
+                waited += CALM_PROBE_SLEEP_S
+                hw = hardware_ceiling()
+            met = gate <= hw["memcpy"] <= 1.05
+            print(f"pair {i}: gate {gate} "
+                  f"{'met' if met else 'abandoned (storm window)'} after "
+                  f"{len(rej)} rejected probes", flush=True)
+        rejected.append(rej)
+        probes.append(hw)
+        print(f"window probe {i}: attainable ceilings {hw}", flush=True)
+        # alternate leg order per pair: a leg pair spans ~25 min on this
+        # host, long enough for ambient load to drift WITHIN the pair
+        # (observed: a storm arriving during the second leg moved a pair
+        # 0.9 -> 0.62). Running (N, 4N), (4N, N), ... cancels first-order
+        # linear drift across the pair sample.
+        legs = (N_CORES, N4_CORES) if i % 2 == 0 else (N4_CORES, N_CORES)
+        for cpus in legs:
+            r = run_leg(cpus, replicas, zpath)
+            runs[cpus].append(r)
+            print(f"local[{cpus}] run{i}: wall={r['value']}s "
+                  f"pps={r['pages_per_sec']} recall={r['dup_pair_recall']}",
+                  flush=True)
+        result = write_result(i + 1)
     with open(ROOT / "BENCH" / "scaling_history.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
-    print("pair raw efficiencies:", [p["efficiency_raw"] for p in pairs],
-          "median:", median_eff,
-          "best:", best_pair["efficiency_raw"],
-          "best clean-probe pair:",
-          best_clean["efficiency_raw"] if best_clean else None)
 
 
 if __name__ == "__main__":
