@@ -138,12 +138,16 @@ def run_leg(cpus: int, replicas: int, zpath: Path, attempts: int = 3) -> dict:
     # an oversized 96g heap measured ~2x SLOWER on both legs (huge-heap GC
     # plus JVM RSS fighting the tmpfs shuffle dir for RAM — with a small
     # heap Spark spills early to /dev/shm, which is RAM-speed anyway).
-    # floor also scales with the CORPUS (replicas/64 GiB): every leg's single
-    # JVM holds the whole replicated pages cache regardless of core count, so
-    # an x256 1-core leg on the x128-era 2 GiB floor would evict/OOM where
-    # the x128 leg did not — the floor models per-node data, the 2 GiB/core
-    # term models per-node compute memory.
-    heap_gb = max(2, 2 * cpus, replicas // 64)
+    # the corpus term (replicas/64 GiB) ADDS to the per-core term rather
+    # than maxing with it: every leg's single JVM holds the whole replicated
+    # pages cache regardless of core count, AND each concurrent task brings
+    # its own working set on top — the corpus term models per-node data,
+    # the 2 GiB/core term per-node compute memory. The earlier
+    # max(2*cpus, replicas//64) sizing made the x256 4-core leg marginal
+    # (8 GiB = the per-core term alone, zero headroom for the 4 GiB corpus
+    # cache): one leg OOM'd its executor threads and hung the local-mode
+    # scheduler on retry before passing on the final attempt.
+    heap_gb = max(2, 2 * cpus + replicas // 64)
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                # WDD_DRIVER_MEM only affects python-launched sessions; under
