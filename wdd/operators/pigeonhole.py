@@ -63,9 +63,19 @@ def pigeonhole_candidates(simhashes: DataFrame, id_col: str = "simhash64",
     return dedup_pairs(verified)
 
 
-def hamming_parts_col(a: str, b: str):
-    """Hamming distance between two array<long> word vectors — pure codegen
-    (zip_with xor + bit_count + aggregate)."""
+def hamming_parts_col(a: str, b: str, n_words: int | None = None):
+    """Hamming distance between two array<long> word vectors.
+
+    With `n_words` (statically known: simhash_size // 64) the fold is
+    UNROLLED into bit_count(a[0]^b[0]) + ... — higher-order functions
+    (zip_with/aggregate) are CodegenFallback in Spark, so the folded form
+    walks the interpreted evaluator per word per pair. Integer addition is
+    exact; results identical."""
+    if n_words is not None:
+        acc = F.bit_count(F.col(a)[0].bitwiseXOR(F.col(b)[0]))
+        for j in range(1, n_words):
+            acc = acc + F.bit_count(F.col(a)[j].bitwiseXOR(F.col(b)[j]))
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0), lambda acc, x: acc + x)
@@ -126,7 +136,11 @@ def pigeonhole_candidates_parts(simhashes: DataFrame,
         exploded, ["block_key"], "sim",
         cap=cfg.band_group_cap, huge_group_rows=cfg.huge_group_rows,
         source="pigeonhole", cache_token=cache_token)
-    verified = pairs.where(hamming_parts_col("a", "b") <= cfg.hamming_k)
+    n_words = (cfg.simhash_size // 64
+               if cfg.simhash_size % 64 == 0 and cfg.simhash_size >= 64
+               else None)
+    verified = pairs.where(
+        hamming_parts_col("a", "b", n_words) <= cfg.hamming_k)
     return dedup_pairs(verified)
 
 

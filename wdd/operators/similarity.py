@@ -27,6 +27,14 @@ from pyspark.sql.types import ArrayType, LongType
 _ANN_SEED = 1337
 
 
+# NOTE (round-7 measurement): unrolling these double-typed folds into
+# per-element expressions (64 terms at dim=64) REGRESSED every consumer
+# ~3-4x (cosine_topk 0.5 -> 3.7 s): the float addition order forces a
+# left-deep tree whose per-execution Catalyst analysis + codegen cost
+# dwarfs the interpreted-HOF evaluation at any realistic candidate count.
+# The HOF fold stays; only the exactly-associative INT folds (Jaccard
+# agreement, Hamming words) are unrolled — as balanced trees (pairs.py,
+# pigeonhole.py).
 def _norm_col(vec: str):
     return F.sqrt(F.aggregate(vec, F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x))
@@ -267,6 +275,11 @@ def kmeans_train(corpus: DataFrame, k: int, iters: int = 3,
         F.col(vec_col).cast("array<double>").alias("_v"),
         _norm_col(vec_col).alias("_n"),
     ).where(F.col("_n") > 0)
+    # the filtered training set feeds the seed scan plus one full pass per
+    # Lloyd round — persist it so the source scan/projection/norm filter
+    # runs once, not iters+1 times (the standard iterative-trainer cache;
+    # evictable, and released before returning)
+    c = c.persist()
     seed_rows = (c.withColumn("_h", F.md5(F.col("_id").cast("string")))
                  .orderBy("_h", "_id").limit(k)
                  .select("_v").collect())
@@ -338,6 +351,7 @@ def kmeans_train(corpus: DataFrame, k: int, iters: int = 3,
                 f"max_shift={movement:.6g}")
         if tol is not None and movement < tol:
             break
+    c.unpersist()
     return _cent_df(centers)
 
 
