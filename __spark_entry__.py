@@ -776,9 +776,16 @@ def q_lsh_minhash_pairs(spark, sf_dir):
         3, "#x")
     # the corpus feeds THREE consumers (band explode + both signature-join
     # sides of verify) — checkpoint so the md5 generation runs once, and
-    # the bench clock sees the operators, not 3x corpus synthesis
+    # the bench clock sees the operators, not 3x corpus synthesis.
+    # coalesce first: the 5-frame union carries 5 x 32 = 160 micro
+    # partitions (each variant inherits the fanned-out docs scan), so every
+    # consumer pays 160-task scheduling waves for ~6.5k rows; coalescing to
+    # the core count is a narrow op (no shuffle), keeps the UDF synthesis at
+    # full parallelism, and cuts the checkpoint + 3 consumer scans to one
+    # task wave each
     corpus = base.unionByName(clone).unionByName(near) \
         .unionByName(bandonly).unionByName(noband) \
+        .coalesce(spark.sparkContext.defaultParallelism) \
         .localCheckpoint(eager=False)
     # raised cap (round-2 ADVICE): the oracle enumerates ALL pairs per
     # band group, so the star fallback past band_group_cap must not engage

@@ -75,7 +75,8 @@ def cosine_dup_pairs(corpus: DataFrame, threshold: float,
                      vec_col: str = "embedding",
                      method: str = "lsh",
                      dim: int | None = None,
-                     bits: int = 8, tables: int = 4) -> DataFrame:
+                     bits: int = 8, tables: int = 4,
+                     cache_token: str | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with cosine >= t.
     Output: (vec_a, vec_b, cosine) with vec_a < vec_b.
 
@@ -115,6 +116,14 @@ def cosine_dup_pairs(corpus: DataFrame, threshold: float,
     bucket = _make_multi_bucket_udf(dim, bits, tables)
     keyed = corpus.select(F.col(id_col).alias("_id"),
                           bucket(vec_col).alias("_bkts"))
+    # the bucket-UDF output feeds BOTH candidate sides (build + probe);
+    # un-pinned, the plan carries two ArrowEvalPython evaluations of the
+    # same numpy matmul over the whole corpus (guide §1.2: don't compute
+    # twice). Persist the (id, codes) keys — tables longs per vector, the
+    # lightweight proxy, never the vectors — evictable and released through
+    # the caller's cache_token (the pipeline's run-scoped release).
+    from wdd.operators.pairs import register_stage_cache
+    keyed = register_stage_cache(cache_token, keyed.persist())
     # probe side: own code + every single-bit flip per table; build side:
     # own code only. Key rows are 3 longs — the vectors never ride this
     # shuffle. (t, bkt) is the equi-join key.

@@ -310,7 +310,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                 emb_edges = cosine_dup_pairs(
                     emb_reps, threshold=cfg.cosine_dup_threshold,
                     id_col="rep", vec_col="embedding", method="lsh",
-                    dim=embedding_dim, bits=bits,
+                    dim=embedding_dim, bits=bits, cache_token=cache_token,
                 ).select(
                     F.col("vec_a").alias("a"), F.col("vec_b").alias("b"),
                     F.lit("embedding").alias("source"),
