@@ -477,22 +477,44 @@ def _planted_vectors(spark, sf_dir):
     cluster c = doc_id%20 has a random-sign center (md5-derived +-1 per
     coordinate); members add a +-0.025 md5-derived perturbation. Within-
     cluster cosine >= ~0.999; cross-cluster <= ~0.8 (16-dim random-sign
-    centers) — a clean near-dup threshold gap at 0.9."""
-    def slot(j: int):
-        c = (F.col("doc_id") % _EMB_CLUSTERS).cast("string")
-        sgn = F.when(
-            F.conv(F.substring(F.md5(
-                F.concat(F.lit("c:"), c, F.lit(f":{j}"))), 1, 1), 16, 10)
-            .cast("int") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-        pert = (F.conv(F.substring(F.md5(
-            F.concat(F.lit("m:"), F.col("doc_id").cast("string"),
-                     F.lit(f":{j}"))), 1, 1), 16, 10).cast("int")
-            / F.lit(15.0) - F.lit(0.5)) * F.lit(0.05)
-        return sgn + pert
+    centers) — a clean near-dup threshold gap at 0.9.
+
+    Synthesized by an Arrow-batched pandas UDF, deliberately (the
+    round-3 _surrogate_sig_df lesson, measured again this round): the
+    inline-JVM form — 16 slots x ~20 md5/conv/substring nodes per row —
+    cost ~9 s of first-use Catalyst analysis + codegen, which a fresh
+    bench session pays INSIDE the query's clock; the UDF plan is trivial
+    and the hashlib work is ~0.2 s for the whole corpus. Slot values are
+    bit-identical to the expression form (same md5 hex digits, same IEEE
+    double operation order: sgn + (digit/15.0 - 0.5) * 0.05), which the
+    unchanged DuckDB oracle restates in closed form — the engine
+    operators under test (bucket join, verification) stay JVM-side."""
+    import pandas as pd
+
+    def batch(doc_ids):
+        import hashlib
+
+        def one(did):
+            did = int(did)
+            c = did % _EMB_CLUSTERS
+            out = []
+            for j in range(_EMB_DIM):
+                hc = hashlib.md5(f"c:{c}:{j}".encode("utf-8")).hexdigest()
+                sgn = 1.0 if int(hc[0], 16) % 2 == 0 else -1.0
+                hm = hashlib.md5(f"m:{did}:{j}".encode("utf-8")).hexdigest()
+                pert = (int(hm[0], 16) / 15.0 - 0.5) * 0.05
+                out.append(sgn + pert)
+            return out
+        return doc_ids.map(one)
+
+    # real type objects, not strings: the module-wide `from __future__
+    # import annotations` would stringify inline hints and break
+    # pandas_udf's type inference (same pattern as _surrogate_sig_df)
+    batch.__annotations__ = {"doc_ids": pd.Series, "return": pd.Series}
+    vec_udf = F.pandas_udf(batch, "array<double>")
     return (_docs(spark, sf_dir)
             .select(F.col("doc_id").alias("vec_id"),
-                    F.array(*[slot(j) for j in range(_EMB_DIM)])
-                    .alias("embedding")))
+                    vec_udf(F.col("doc_id")).alias("embedding")))
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
