@@ -59,14 +59,6 @@ def _unpersist_rdds(sc, ids: set[int]) -> None:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    # No dedup here (round-7, guide §2.4 — remove shuffles outright): the
-    # output is a MULTISET whose row count is bounded by |sym| = 2|E|
-    # regardless (each sym row emits at most one edge), so skipping the
-    # dedup exchange costs no asymptotic volume. _small_star is
-    # min/groupBy-based, hence multiset-insensitive, and its round-ending
-    # dropDuplicates restores the canonical edge SET — the iterated sets,
-    # the fixpoint and the labels are identical (pinned by the CC pytests
-    # and the connected_components driver oracle).
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v")))
     mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
@@ -74,7 +66,8 @@ def _large_star(e: DataFrame) -> DataFrame:
     return (sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b")))
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"]))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -92,8 +85,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                          max_iter: int = 25,
-                         rounds_per_sync: int = 2,
-                         input_deduped: bool = False) -> CCResult:
+                         rounds_per_sync: int = 2) -> CCResult:
     """edges: (a, b) long ids; vertices: optional (id) frame for isolated
     nodes. Returns every vertex labeled with cluster_id = its component min.
 
@@ -114,13 +106,9 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
     baseline = _persistent_rdd_ids(sc)
     e = (edges.select(F.col("a").cast("long").alias("a"),
                       F.col("b").cast("long").alias("b"))
-         .where(F.col("a") != F.col("b")))
-    # input_deduped=True: the caller guarantees (a, b) rows are already
-    # distinct (e.g. the pipeline's candidate_pairs comes straight off a
-    # groupBy(a, b)) — the initial dedup exchange is then pure overhead
-    if not input_deduped:
-        e = e.dropDuplicates(["a", "b"])
-    e = e.localCheckpoint(eager=False)  # materialized by the first _signature
+         .where(F.col("a") != F.col("b"))
+         .dropDuplicates(["a", "b"])
+         .localCheckpoint(eager=False))  # materialized by the first _signature
 
     def _signature(edges_df) -> tuple:
         """Order-insensitive edge-set fingerprint in ONE cheap aggregate

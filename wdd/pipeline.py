@@ -368,10 +368,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         rep_vertices = reps.select(F.col("rep").alias("id"))
         cc = connected_components(
             candidate_pairs.where(F.col("source") != "exact").select("a", "b"),
-            rep_vertices,
-            # candidate_pairs is the output of a groupBy(a, b) — rows are
-            # distinct by construction; skip CC's initial dedup exchange
-            input_deduped=True)
+            rep_vertices)
         clusters = (
             simhashes.select("url", "warc_ts", "page_id", "digest")
             .join(reps.select("digest", "rep"), "digest")
