@@ -103,18 +103,39 @@ def pairs_from_groups(df: DataFrame, group_cols: list[str], id_col: str,
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    expansion = pair_expansion_expr("ids", cap)
+    # STREAMED expansion (round-7, guide §5 — bound per-task memory): the
+    # old single-expression form (pair_expansion_expr) materialized ALL
+    # C(n,2) pair structs of a group as ONE in-memory array before its
+    # explode — a group of 2,941 anchor-sharing docs (sf1.0's planted
+    # substring block) built a 4.3M-struct array per group row and OOM'd an
+    # 8g heap. Two nested Generates emit the same pair set with per-row
+    # memory bounded by ONE partner slice (<= n ids): posexplode the member
+    # list, then per member x at 0-based position i emit
+    #   size<=cap : slice(ids, i+2, n-i-1)          (all y > x)
+    #   size> cap : i==0 -> slice(ids, 2, n-1)      (star from the min)
+    #               else -> [ids[i+1]]              (chain edge)
+    # — identical to all-pairs / array_union(star, chain): star covers
+    # (ids[0], ids[1]), chain rows start at i>=1, ids are sorted-distinct
+    # so no duplicates arise. pair_expansion_expr remains for small
+    # bounded-group callers.
+    rows = grouped.select("ids", F.posexplode("ids").alias("_i", "_x"))
+    partners = F.when(
+        F.size("ids") <= cap,
+        F.expr("slice(ids, _i + 2, size(ids) - _i - 1)"),
+    ).otherwise(F.when(F.col("_i") == 0, F.expr("slice(ids, 2, size(ids) - 1)"))
+                .otherwise(F.expr("CASE WHEN _i <= size(ids) - 2 "
+                                  "THEN slice(ids, _i + 2, 1) "
+                                  "ELSE slice(ids, 1, 0) END")))
     if assert_max_rows is not None:
-        expansion = F.when(
-            F.size("ids") <= F.lit(int(assert_max_rows)), expansion
+        partners = F.when(
+            F.size("ids") <= F.lit(int(assert_max_rows)), partners
         ).otherwise(F.raise_error(F.concat(
             F.lit("pairs_from_groups: group of "), F.size("ids").cast("string"),
             F.lit(f" ids exceeds the huge_group_rows=None guarantee "
                   f"(limit {int(assert_max_rows)}); pass a huge_group_rows "
                   f"bound so mega-groups take the salted star path"))))
     pairs = (
-        grouped.select(F.explode(expansion).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        rows.select(F.col("_x").alias("a"), F.explode(partners).alias("b"))
     )
     if source is not None:
         pairs = pairs.withColumn("source", F.lit(source))
