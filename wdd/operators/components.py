@@ -133,8 +133,21 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
         superseded = _persistent_rdd_ids(sc) - baseline
         e2 = e
         for _ in range(rounds_per_sync):
-            e2 = _small_star(_large_star(e2))
-        e2 = e2.localCheckpoint(eager=False)
+            # localCheckpoint after EVERY star contraction, not once per
+            # sync: each star references its input 3-4x, so an unbroken
+            # k-contraction lineage grows the Catalyst tree ~4^k and
+            # toRdd planning inside the sync-end localCheckpoint cost a
+            # measured 1.3-3 s of SERIAL driver time per sync (the flat
+            # 2-to-8-core component the rounds_per_sync docstring notes).
+            # Truncating at every contraction keeps every planned tree
+            # one-star deep: sync build 1.7 s -> 0.8 s, action 0.12 ->
+            # 0.07 s on a 20k-edge graph. Shuffle volume is unchanged;
+            # the extra checkpoint stores one intermediate edge list per
+            # contraction (16 B/row), released by the per-sync cleanup.
+            # All checkpoints are eager=False: the signature aggregate
+            # below materializes the whole chain in ONE job.
+            e2 = _large_star(e2).localCheckpoint(eager=False)
+            e2 = _small_star(e2).localCheckpoint(eager=False)
         sig = _signature(e2)            # materializes e2's checkpoint...
         _unpersist_rdds(sc, superseded)  # ...making every prior sync's dead
         e = e2
