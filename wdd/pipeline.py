@@ -224,30 +224,33 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
         samesim_edges = mat("edges_samesim", samesim_edges, t)
 
     # -- stage: LSH band candidates + Jaccard verification (J1, J5) --------
-    with stage_timer(metrics, "edges_lsh") as t:
-        lsh_cand = L.lsh_candidates(nd_reps, id_col="rep", sig_col="signature",
-                                    cfg=cfg, cache_token=cache_token)
-        lsh_edges = L.verify_jaccard(
-            lsh_cand, reps.select("rep", "signature"),
-            id_col="rep", sig_col="signature",
-            threshold=cfg.jaccard_threshold,
-        ).select("a", "b", "source", "score")
-        lsh_edges = mat("edges_lsh", lsh_edges, t)
+    def _lsh_stage() -> DataFrame:
+        with stage_timer(metrics, "edges_lsh") as t:
+            lsh_cand = L.lsh_candidates(nd_reps, id_col="rep",
+                                        sig_col="signature",
+                                        cfg=cfg, cache_token=cache_token)
+            lsh_edges = L.verify_jaccard(
+                lsh_cand, reps.select("rep", "signature"),
+                id_col="rep", sig_col="signature",
+                threshold=cfg.jaccard_threshold,
+            ).select("a", "b", "source", "score")
+            return mat("edges_lsh", lsh_edges, t)
 
     # -- stage: Hamming pigeonhole candidates (J2) --------------------------
-    with stage_timer(metrics, "edges_pigeonhole") as t:
-        sim_pairs = (P.pigeonhole_candidates_parts(
-                        nd_reps, parts_col=sim_col, cfg=cfg,
-                        cache_token=cache_token) if wide
-                     else P.pigeonhole_candidates(
-                        nd_reps, id_col=sim_col, cfg=cfg,
-                        cache_token=cache_token))
-        ph_edges = P.simhash_pairs_to_page_pairs(
-            sim_pairs, nd_reps, id_col="rep", sim_col=sim_col
-        ).withColumn(
-            "score", F.lit(None).cast("double")
-        ).select("a", "b", "source", "score")
-        ph_edges = mat("edges_pigeonhole", ph_edges, t)
+    def _pigeonhole_stage() -> DataFrame:
+        with stage_timer(metrics, "edges_pigeonhole") as t:
+            sim_pairs = (P.pigeonhole_candidates_parts(
+                            nd_reps, parts_col=sim_col, cfg=cfg,
+                            cache_token=cache_token) if wide
+                         else P.pigeonhole_candidates(
+                            nd_reps, id_col=sim_col, cfg=cfg,
+                            cache_token=cache_token))
+            ph_edges = P.simhash_pairs_to_page_pairs(
+                sim_pairs, nd_reps, id_col="rep", sim_col=sim_col
+            ).withColumn(
+                "score", F.lit(None).cast("double")
+            ).select("a", "b", "source", "score")
+            return mat("edges_pigeonhole", ph_edges, t)
 
     # -- stage: embedding-cosine candidates (optional — semantic/paraphrase
     # duplicates invisible to every token-level source). Activates when the
@@ -263,9 +266,9 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     # which at 100 TB would read and sha1-hash every content byte TWICE
     # (round-5 verdict wrong #1 — measured as most of the 23.7->33.4 s
     # flagship regression at sf0.1).
-    emb_edges = None
-    if "embedding" in pages.columns:
+    def _embedding_stage(embedding_dim=embedding_dim) -> DataFrame | None:
         from wdd.operators.similarity import cosine_dup_pairs
+        emb_edges = None
         with stage_timer(metrics, "edges_embedding") as t:
             emb_src = D.with_page_id(
                 pages.where(F.col("embedding").isNotNull())
@@ -316,10 +319,10 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                     F.lit("embedding").alias("source"),
                     F.col("cosine").alias("score"))
                 emb_edges = mat("edges_embedding", emb_edges, t)
+        return emb_edges
 
     # -- stage: substring-overlap candidates (anchor hashing) ---------------
-    sub_edges = None
-    if enable_substring:
+    def _substring_stage() -> DataFrame:
         with stage_timer(metrics, "edges_substring") as t:
             rep_texts = sigs.join(reps.select("digest", "rep"), "digest") \
                 .select(F.col("rep").alias("id"), "text") \
@@ -328,7 +331,33 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                 rep_texts, id_col="id", text_col="text", cfg=cfg,
                 cache_token=cache_token,
             ).select("a", "b", "source", "score")
-            sub_edges = mat("edges_substring", sub_edges, t)
+            return mat("edges_substring", sub_edges, t)
+
+    # The four near-dup candidate sources are independent given the shared
+    # persisted frames (prep/sigs/reps/simhashes), but each blocks the
+    # driver mid-build: the mega-group sizing probe (pairs.py sizes.isEmpty)
+    # per candidate source, plus the embedding stage's dim/count aggregates.
+    # Run them as CONCURRENT driver jobs (guide §2.6): Spark's scheduler
+    # runs several jobs at once inside one application, so each probe's
+    # tasks back-fill the executor slots another probe's tail leaves idle
+    # instead of serializing four driver round trips — measured 5.5-7 s of
+    # serial edge-stage wall at sf0.1 collapsing to ~max of the legs.
+    # Shared lazily-persisted frames are computed once under the block
+    # manager's per-partition cache locks regardless of which job touches
+    # them first; results and the union order below are deterministic.
+    # FIFO scheduling keeps the first-submitted (heaviest) stage preferred.
+    from concurrent.futures import ThreadPoolExecutor
+    stage_fns = [_lsh_stage, _pigeonhole_stage]
+    if "embedding" in pages.columns:
+        stage_fns.append(_embedding_stage)
+    if enable_substring:
+        stage_fns.append(_substring_stage)
+    with ThreadPoolExecutor(max_workers=len(stage_fns)) as pool:
+        futures = [pool.submit(fn) for fn in stage_fns]
+        results = [f.result() for f in futures]
+    lsh_edges, ph_edges = results[0], results[1]
+    emb_edges = results[2] if "embedding" in pages.columns else None
+    sub_edges = results[-1] if enable_substring else None
 
     # Candidate stages above pinned their exploded tables (pairs.py) for the
     # sizing+pair double read; once the edge frames are materialized (eager
