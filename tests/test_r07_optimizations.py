@@ -133,3 +133,54 @@ def test_repetition_stats_single_generate(spark):
     assert row.top_token_frac == 0.5
     assert row.top_bigram_frac == pytest.approx(1.0 / 3.0)
     assert row.top_trigram_frac == 0.5
+
+
+def test_cc_sync_planning_stays_bounded(spark):
+    """§13 guard: the CC sync loop truncates lineage at EVERY star
+    contraction, so no single toRdd planning call ever sees more than one
+    star over a checkpoint-scan leaf. The unbroken 2-round form planned a
+    ~959-operator tree (measured 1.3-3 s of serial driver time per sync);
+    the truncated form stays two orders of magnitude smaller. This pins
+    the cadence: chaining even two contractions without a checkpoint
+    re-blows the tree past the bound."""
+    from wdd.operators.components import _large_star, _small_star
+    e = (spark.range(0, 500)
+         .select((F.col("id") * 7919 % 1021).alias("a"),
+                 (F.col("id") * 104729 % 1021).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .dropDuplicates(["a", "b"])
+         .localCheckpoint(eager=True))
+
+    def nodes(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("+-")
+
+    # production cadence: ckpt after every contraction, 2 rounds
+    x = e
+    for _ in range(2):
+        x = _large_star(x).localCheckpoint(eager=False)
+        x = _small_star(x).localCheckpoint(eager=False)
+    assert nodes(x) <= 40, "per-contraction truncation lost: planning blowup"
+
+    # the old cadence (one ckpt per 2-round sync) blows the tree up ~4^k —
+    # the regression this test exists to catch
+    y = e
+    for _ in range(2):
+        y = _small_star(_large_star(y))
+    assert nodes(y) > 200
+
+
+def test_cc_labels_identical_across_checkpoint_cadence(spark):
+    """§13 is a pure planning change: connected_components' labels must be
+    bit-identical to a cadence-free reference (hash_min_components)."""
+    from wdd.operators.components import (connected_components,
+                                          hash_min_components)
+    e = (spark.range(0, 300)
+         .select((F.col("id") % 97).alias("a"),
+                 ((F.col("id") * 31) % 97 + 50).alias("b"))
+         .where(F.col("a") != F.col("b")))
+    verts = spark.range(0, 160).select(F.col("id"))
+    a = connected_components(e, verts)
+    b = hash_min_components(e, verts)
+    assert a.converged and b.converged
+    assert sorted(map(tuple, a.labels.collect())) == \
+        sorted(map(tuple, b.labels.collect()))
