@@ -184,3 +184,23 @@ def test_cc_labels_identical_across_checkpoint_cadence(spark):
     assert a.converged and b.converged
     assert sorted(map(tuple, a.labels.collect())) == \
         sorted(map(tuple, b.labels.collect()))
+
+
+def test_lazy_pipeline_releases_checkpointed_edge_frames(spark, sf_dir):
+    """§15 guard: the lazy pipeline's four near-dup edge stages are
+    localCheckpoint(eager=False)-ed inside their builders (so the
+    candidate-union tree is planned from RDD leaves, not six full
+    lineages), and release() must drop those checkpoint blocks along with
+    the persisted caches — both registries empty for the run's token."""
+    from wdd.operators import pairs as pairmod
+    from wdd.pipeline import run_dedup_pipeline
+    from wdd.sources.pages import synth_pages
+    pages, _ = synth_pages(spark, sf_dir, with_truth=False)
+    res = run_dedup_pipeline(spark, pages.limit(150), eager_stages=False)
+    tok = res.cache_token
+    assert pairmod._CHECKPOINTED.get(tok), \
+        "lazy edge stages no longer register checkpoints"
+    res.clusters.select("cluster_id").distinct().count()
+    assert res.release() > 0
+    assert tok not in pairmod._CHECKPOINTED
+    assert tok not in pairmod._PERSISTED

@@ -32,6 +32,18 @@ from wdd.config import DEFAULT
 # release each other's in-flight caches. Callers that pass no token share
 # the None bucket — fine for one-shot queries.
 _PERSISTED: dict[str | None, list[DataFrame]] = {}
+_CHECKPOINTED: dict[str | None, list[DataFrame]] = {}
+
+
+def register_stage_checkpoint(cache_token: str | None,
+                              df: DataFrame) -> DataFrame:
+    """Track a localCheckpoint(eager=False) frame under `cache_token` so
+    release_stage_caches() can drop its blocks too: DataFrame.unpersist()
+    does not reach checkpoint RDDs, so the LogicalRDD's underlying rdd is
+    unpersisted directly (py4j-surface dependent; degrades to leaving the
+    blocks, exactly the pre-round-7 behavior for CC's final sync)."""
+    _CHECKPOINTED.setdefault(cache_token, []).append(df)
+    return df
 
 
 def register_stage_cache(cache_token: str | None, df: DataFrame) -> DataFrame:
@@ -45,15 +57,25 @@ def register_stage_cache(cache_token: str | None, df: DataFrame) -> DataFrame:
 
 
 def release_stage_caches(cache_token: str | None = None) -> int:
-    """Unpersist the exploded tables pinned under `cache_token` (None =
-    the shared default bucket). Safe to call any time — an unpersisted
-    cache merely recomputes — but the intended call site is right after
-    that run's candidate pairs materialize."""
+    """Unpersist the exploded tables AND checkpointed stage frames pinned
+    under `cache_token` (None = the shared default bucket). Persisted
+    frames merely recompute if re-used; checkpointed frames (see
+    register_stage_checkpoint) have truncated lineage, so the token's
+    result frames must not be re-executed after release. Intended call
+    site: once the run's final frames are materialized and consumed."""
     n = 0
     bucket = _PERSISTED.pop(cache_token, [])
     while bucket:
         bucket.pop().unpersist()
         n += 1
+    ckpts = _CHECKPOINTED.pop(cache_token, [])
+    while ckpts:
+        try:
+            ckpts.pop()._jdf.queryExecution().analyzed().rdd() \
+                .unpersist(False)
+            n += 1
+        except Exception:
+            continue
     return n
 
 

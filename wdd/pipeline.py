@@ -51,8 +51,13 @@ class PipelineResult:
     cache_token: str | None = None
 
     def release(self) -> int:
-        """Unpersist every cache this run pinned (lazy path). Safe to call
-        any time / twice; returns the number of frames released."""
+        """Unpersist every cache this run pinned (lazy path). Idempotent;
+        returns the number of frames released. Call it when the run's
+        results are no longer needed: persisted frames merely recompute on
+        a later action, but the lazily CHECKPOINTED candidate stages lose
+        their blocks without a lineage to rebuild them, so re-executing
+        this result's frames after release() fails. (Every in-repo caller
+        — bench, tests, profilers — releases at end-of-use.)"""
         from wdd.operators.pairs import release_stage_caches
         return release_stage_caches(self.cache_token)
 
@@ -77,7 +82,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
     cache_token = f"pipeline-{uuid.uuid4().hex}"
 
     def mat(name: str, df: DataFrame, t: stage_timer,
-            shared: bool = False) -> DataFrame:
+            shared: bool = False, ckpt: bool = False) -> DataFrame:
         if store is not None:
             out = store.materialize(name, df)
             m = store.manifest(name)
@@ -90,6 +95,21 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             if shared:
                 from wdd.operators.pairs import register_stage_cache
                 out = register_stage_cache(cache_token, df.persist())
+            elif ckpt:
+                # localCheckpoint(eager=False): adds NO job, but its toRdd
+                # call plans the stage's lineage HERE — inside this stage's
+                # concurrently-running builder thread — and hands every
+                # consumer an RDD leaf. Without it the candidate-union tree
+                # (six edge lineages) was Catalyst-planned SERIALLY at the
+                # CC entry checkpoint: a measured 4.1-6.9 s per headline
+                # rep. Only the four near-dup edge frames opt in (deep
+                # plans, few rows — verified candidate pairs); exact and
+                # samesim stay streaming (shallow plans, page-scale rows,
+                # so an extra materialized copy would cost real memory).
+                # Blocks are released through the run's cache_token.
+                from wdd.operators.pairs import register_stage_checkpoint
+                out = register_stage_checkpoint(
+                    cache_token, df.localCheckpoint(eager=False))
             else:
                 out = df
             t.done(-1, -1)
@@ -234,7 +254,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                 id_col="rep", sig_col="signature",
                 threshold=cfg.jaccard_threshold,
             ).select("a", "b", "source", "score")
-            return mat("edges_lsh", lsh_edges, t)
+            return mat("edges_lsh", lsh_edges, t, ckpt=True)
 
     # -- stage: Hamming pigeonhole candidates (J2) --------------------------
     def _pigeonhole_stage() -> DataFrame:
@@ -250,7 +270,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
             ).withColumn(
                 "score", F.lit(None).cast("double")
             ).select("a", "b", "source", "score")
-            return mat("edges_pigeonhole", ph_edges, t)
+            return mat("edges_pigeonhole", ph_edges, t, ckpt=True)
 
     # -- stage: embedding-cosine candidates (optional — semantic/paraphrase
     # duplicates invisible to every token-level source). Activates when the
@@ -318,7 +338,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                     F.col("vec_a").alias("a"), F.col("vec_b").alias("b"),
                     F.lit("embedding").alias("source"),
                     F.col("cosine").alias("score"))
-                emb_edges = mat("edges_embedding", emb_edges, t)
+                emb_edges = mat("edges_embedding", emb_edges, t, ckpt=True)
         return emb_edges
 
     # -- stage: substring-overlap candidates (anchor hashing) ---------------
@@ -331,7 +351,7 @@ def run_dedup_pipeline(spark, pages: DataFrame, cfg: WddConfig = DEFAULT,
                 rep_texts, id_col="id", text_col="text", cfg=cfg,
                 cache_token=cache_token,
             ).select("a", "b", "source", "score")
-            return mat("edges_substring", sub_edges, t)
+            return mat("edges_substring", sub_edges, t, ckpt=True)
 
     # The four near-dup candidate sources are independent given the shared
     # persisted frames (prep/sigs/reps/simhashes), but each blocks the
